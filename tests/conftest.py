@@ -1,0 +1,39 @@
+"""Test configuration.
+
+Tests run on the JAX CPU backend with 8 virtual devices so that multi-chip
+sharding paths (mesh/pjit) are exercised without TPU hardware.
+"""
+
+import os
+import sys
+from pathlib import Path
+
+os.environ.setdefault("JAX_PLATFORMS", "cpu")
+_flags = os.environ.get("XLA_FLAGS", "")
+if "xla_force_host_platform_device_count" not in _flags:
+    os.environ["XLA_FLAGS"] = (
+        _flags + " --xla_force_host_platform_device_count=8"
+    ).strip()
+
+REPO_ROOT = Path(__file__).resolve().parent.parent
+sys.path.insert(0, str(REPO_ROOT))
+
+REFERENCE_ROOT = Path("/root/reference")
+
+import pytest  # noqa: E402
+
+
+@pytest.fixture(scope="session")
+def reference_model_configs() -> Path:
+    path = REFERENCE_ROOT / "tests" / "data" / "model_configs"
+    if not path.is_dir():
+        pytest.skip("reference model configs not available")
+    return path
+
+
+@pytest.fixture(scope="session")
+def reference_pod5_dir() -> Path:
+    path = REFERENCE_ROOT / "tests" / "data" / "pod5"
+    if not path.is_dir():
+        pytest.skip("reference pod5 fixtures not available")
+    return path
