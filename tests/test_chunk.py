@@ -88,5 +88,6 @@ class TestGenerateVariableChunks:
                     assert start % stride == 0
                 if i < len(intervals) - 1:
                     assert end % stride == 0
-                    # consecutive chunks overlap (or adjoin when overlap == 0)
-                    assert intervals[i + 1][0] <= end - overlap
+                    # consecutive chunks overlap (or adjoin when overlap == 0);
+                    # stride alignment can shave up to stride-1 from each side
+                    assert intervals[i + 1][0] <= end - overlap + 2 * (stride - 1)
