@@ -1,0 +1,258 @@
+"""Conv + LSTM + LinearCRF basecalling model (fast/hac families), TPU-first.
+
+Architecture parity with the reference CRF models
+(dorado/basecall/model/CRFModel.cpp:29-62, dorado/nn/ConvStack.cpp,
+dorado/nn/LSTMStack.cpp, dorado/nn/CRFModules.cpp), re-expressed as pure
+functional JAX:
+
+  raw signal [N, T] -> conv stack (stride product S) -> [N, T/S, H]
+  -> 5 alternating-direction LSTM layers -> LinearCRF (+ optional tanh*5,
+  optional decomposition, optional clamp +-5) -> transition scores
+  [N, T/S, 4^(state_len+1)]
+
+TPU-first design choices:
+  - the per-layer input projection (x @ W_ih) is hoisted out of the recurrence
+    into ONE large [N*T, C] x [C, 4H] matmul that XLA tiles onto the MXU;
+  - the recurrence itself is a `lax.scan` over time-major activations with a
+    single [N, H] x [H, 4H] matmul per step (see ops/lstm.py for the Pallas
+    fused variant);
+  - alternating layer direction is a time flip, fused by XLA into the scan's
+    gather order.
+
+Parameters are a plain pytree (nested dicts of jnp arrays); all static shape
+information comes from `BasecallModelConfig`.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+from typing import Any
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from dorado_tpu.config import Activation, BasecallModelConfig
+
+Params = dict[str, Any]
+
+
+def _activation_fn(act: Activation):
+    if act is Activation.SWISH:
+        return jax.nn.silu
+    if act is Activation.SWISH_CLAMP:
+        # silu clamped from above at 3.5 (reference: nn/ConvStack.cpp:154)
+        return lambda x: jnp.minimum(jax.nn.silu(x), 3.5)
+    if act is Activation.TANH:
+        return jnp.tanh
+    raise ValueError(f"unknown activation {act}")
+
+
+# ---------------------------------------------------------------------------
+# Initialisation
+# ---------------------------------------------------------------------------
+
+
+def init_lstm_crf_params(
+    config: BasecallModelConfig, key: jax.Array, dtype=jnp.float32
+) -> Params:
+    """Random-init parameters with the exact shapes of the reference weights.
+
+    Conv weights are stored [K, C_in, C_out] (HIO); LSTM weights follow the
+    torch layout [4H, C] with gate order (i, f, g, o) so imported dorado
+    weights drop straight in.
+    """
+    params: Params = {"convs": [], "lstms": []}
+    keys = jax.random.split(key, len(config.convs) + config.lstm_layers + 2)
+    k_iter = iter(keys)
+
+    for cv in config.convs:
+        k = next(k_iter)
+        fan_in = cv.insize * cv.winlen
+        w = jax.random.normal(k, (cv.winlen, cv.insize, cv.size), dtype) / np.sqrt(fan_in)
+        b = jnp.zeros((cv.size,), dtype)
+        params["convs"].append({"w": w, "b": b})
+
+    hidden = config.lstm_size
+    for _ in range(config.lstm_layers):
+        k = next(k_iter)
+        k1, k2, k3, k4 = jax.random.split(k, 4)
+        scale = 1.0 / np.sqrt(hidden)
+        params["lstms"].append(
+            {
+                "w_ih": jax.random.uniform(k1, (4 * hidden, hidden), dtype, -scale, scale),
+                "w_hh": jax.random.uniform(k2, (4 * hidden, hidden), dtype, -scale, scale),
+                "b_ih": jax.random.uniform(k3, (4 * hidden,), dtype, -scale, scale),
+                "b_hh": jax.random.uniform(k4, (4 * hidden,), dtype, -scale, scale),
+            }
+        )
+
+    k = next(k_iter)
+    if config.out_features is not None:
+        # decomposed linear layer: hidden -> out_features -> outsize
+        k1, k2 = jax.random.split(k)
+        params["linear1"] = {
+            "w": jax.random.normal(k1, (config.out_features, hidden), dtype)
+            / np.sqrt(hidden)
+        }
+        if config.bias:
+            params["linear1"]["b"] = jnp.zeros((config.out_features,), dtype)
+        params["linear2"] = {
+            "w": jax.random.normal(k2, (config.outsize, config.out_features), dtype)
+            / np.sqrt(config.out_features)
+        }
+    else:
+        pre_v4 = config.convs[0].size <= 4 or config.num_features != 1
+        params["linear1"] = {
+            "w": jax.random.normal(k, (config.outsize, hidden), dtype) / np.sqrt(hidden)
+        }
+        if config.bias or pre_v4:
+            params["linear1"]["b"] = jnp.zeros((config.outsize,), dtype)
+    return params
+
+
+# ---------------------------------------------------------------------------
+# Forward
+# ---------------------------------------------------------------------------
+
+
+def conv_stack(params: Params, x: jnp.ndarray, config: BasecallModelConfig) -> jnp.ndarray:
+    """[N, T, C_in] -> [N, T/stride, C_out] feature-last 1D convolutions."""
+    for cv, p in zip(config.convs, params["convs"]):
+        x = jax.lax.conv_general_dilated(
+            x,
+            p["w"].astype(x.dtype),
+            window_strides=(cv.stride,),
+            padding=[(cv.padding, cv.padding)],
+            dimension_numbers=("NHC", "HIO", "NHC"),
+            preferred_element_type=jnp.float32,
+        )
+        x = (x + p["b"].astype(jnp.float32)).astype(x.dtype)
+        x = _activation_fn(cv.activation)(x)
+    return x
+
+
+def lstm_layer(
+    p: Params, x: jnp.ndarray, reverse: bool, use_pallas: bool = False
+) -> jnp.ndarray:
+    """One LSTM layer over [N, T, H] (torch gate order i,f,g,o).
+
+    The input projection runs as one big matmul outside the scan; the scan
+    carries (h, c) and does a single [N,H]x[H,4H] matmul per step.
+    """
+    dtype = x.dtype
+    w_ih = p["w_ih"].astype(dtype)
+    w_hh = p["w_hh"].astype(dtype)
+    bias = (p["b_ih"] + p["b_hh"]).astype(jnp.float32)
+
+    n, t, h = x.shape
+    xproj = jnp.einsum(
+        "nth,gh->ntg", x, w_ih, preferred_element_type=jnp.float32
+    ) + bias  # [N, T, 4H] f32
+
+    if reverse:
+        xproj = jnp.flip(xproj, axis=1)
+
+    if use_pallas:
+        from dorado_tpu.ops.lstm import lstm_scan_pallas
+
+        out = lstm_scan_pallas(xproj, w_hh)
+    else:
+        xproj_t = jnp.swapaxes(xproj, 0, 1)  # [T, N, 4H]
+
+        def step(carry, xp):
+            h_prev, c_prev = carry
+            gates = xp + jnp.dot(
+                h_prev, w_hh.T, preferred_element_type=jnp.float32
+            )
+            i, f, g, o = jnp.split(gates, 4, axis=-1)
+            c = jax.nn.sigmoid(f) * c_prev + jax.nn.sigmoid(i) * jnp.tanh(g)
+            h_new = jax.nn.sigmoid(o) * jnp.tanh(c)
+            return (h_new.astype(dtype), c), h_new.astype(dtype)
+
+        init = (
+            jnp.zeros((n, h), dtype),
+            jnp.zeros((n, h), jnp.float32),
+        )
+        _, out_t = jax.lax.scan(step, init, xproj_t)
+        out = jnp.swapaxes(out_t, 0, 1)  # [N, T, H]
+
+    if reverse:
+        out = jnp.flip(out, axis=1)
+    return out
+
+
+def lstm_stack(
+    params: Params,
+    x: jnp.ndarray,
+    reverse_first: bool = True,
+    use_pallas: bool = False,
+) -> jnp.ndarray:
+    """Alternating-direction LSTM layers (first layer reversed for v4 models,
+    matching dorado/nn/LSTMStack.cpp:29-41)."""
+    for i, p in enumerate(params["lstms"]):
+        reverse = (i % 2 == 0) if reverse_first else (i % 2 == 1)
+        x = lstm_layer(p, x, reverse=reverse, use_pallas=use_pallas)
+    return x
+
+
+def linear_crf_head(
+    params: Params, x: jnp.ndarray, config: BasecallModelConfig
+) -> jnp.ndarray:
+    """LinearCRF (+ optional decomposition / tanh*5 / clamp) -> scores f32."""
+    tanh_x5 = config.scale == 5.0
+    pre_v4 = config.convs[0].size <= 4 or config.num_features != 1
+
+    def linear(p, y):
+        out = jnp.einsum(
+            "nth,ch->ntc", y, p["w"].astype(y.dtype), preferred_element_type=jnp.float32
+        )
+        if "b" in p:
+            out = out + p["b"].astype(jnp.float32)
+        return out
+
+    if config.out_features is not None:
+        y = linear(params["linear1"], x).astype(x.dtype)
+        scores = linear(params["linear2"], y)
+        if tanh_x5:
+            scores = 5.0 * jnp.tanh(scores)
+        if config.clamp:
+            scores = jnp.clip(scores, -5.0, 5.0)
+    elif not pre_v4:
+        scores = linear(params["linear1"], x)
+        if tanh_x5:
+            scores = 5.0 * jnp.tanh(scores)
+        if config.clamp:
+            scores = jnp.clip(scores, -5.0, 5.0)
+    else:
+        # pre-v4: bias + tanh * 5 always
+        scores = linear(params["linear1"], x)
+        scores = 5.0 * jnp.tanh(scores)
+    return scores
+
+
+def lstm_crf_forward(
+    params: Params,
+    signal: jnp.ndarray,
+    config: BasecallModelConfig,
+    use_pallas: bool = False,
+) -> jnp.ndarray:
+    """[N, T] (or [N, T, F]) normalised signal -> [N, T/stride, outsize] scores."""
+    if signal.ndim == 2:
+        signal = signal[..., None]
+    x = conv_stack(params, signal, config)
+    x = lstm_stack(params, x, reverse_first=True, use_pallas=use_pallas)
+    return linear_crf_head(params, x, config)
+
+
+def make_crf_forward_fn(
+    config: BasecallModelConfig, use_pallas: bool = False, compute_dtype=jnp.float32
+):
+    """Build a jittable forward closure over the static model config."""
+
+    def forward(params, signal):
+        return lstm_crf_forward(
+            params, signal.astype(compute_dtype), config, use_pallas=use_pallas
+        )
+
+    return forward
