@@ -1,0 +1,80 @@
+import numpy as np
+import pytest
+
+from dorado_tpu.io.pod5 import Pod5File, find_pod5_files, iter_reads
+from dorado_tpu.io.vbz import (
+    compress_signal,
+    decompress_signal,
+    svb16_decode,
+    svb16_encode,
+)
+
+
+class TestVbz:
+    @pytest.mark.parametrize("n", [1, 7, 8, 9, 1000, 4096])
+    def test_svb16_roundtrip(self, n):
+        rng = np.random.default_rng(n)
+        sig = rng.integers(-2000, 3000, n).astype(np.int16)
+        assert np.array_equal(svb16_decode(svb16_encode(sig), n), sig)
+
+    def test_vbz_roundtrip(self):
+        rng = np.random.default_rng(0)
+        # realistic: smooth-ish signal with small deltas
+        sig = (np.cumsum(rng.integers(-30, 30, 50000)) + 800).astype(np.int16)
+        blob = compress_signal(sig)
+        assert len(blob) < sig.nbytes  # actually compresses
+        assert np.array_equal(decompress_signal(blob, len(sig)), sig)
+
+    def test_empty(self):
+        assert svb16_decode(b"", 0).size == 0
+
+
+class TestPod5File:
+    def test_single_read(self, reference_pod5_dir):
+        path = (
+            reference_pod5_dir
+            / "dna_r10.4.1_e8.2_400bps_5khz"
+            / "dna_r10.4.1_e8.2_400bps_5khz-FLO_PRO114M-SQK_LSK114_XL-5000.pod5"
+        )
+        f = Pod5File(path)
+        assert f.num_reads == 1
+        read = f.get_read(0)
+        assert read.read_id == "c9d52049-ce91-491c-8b19-3ae940f9f020"
+        assert read.signal.dtype == np.int16
+        assert read.signal.shape == (2048,)
+        assert read.run_info.sample_rate == 5000
+        assert read.run_info.flow_cell_product_code == "FLO-PRO114M"
+
+    def test_multi_read(self):
+        from tests.conftest import REFERENCE_ROOT
+
+        path = REFERENCE_ROOT / "tests/data/multi_read_pod5/filtered.pod5"
+        if not path.exists():
+            pytest.skip("fixture missing")
+        f = Pod5File(path)
+        assert f.num_reads == 4
+        reads = list(f.reads())
+        assert all(r.signal.size > 90000 for r in reads)
+        assert all(r.run_info.sample_rate == 4000 for r in reads)
+        # signal in plausible ADC range
+        for r in reads:
+            assert -5000 < int(r.signal.min()) and int(r.signal.max()) < 10000
+
+    def test_find_and_iter(self, reference_pod5_dir):
+        files = find_pod5_files(reference_pod5_dir / "dna_r10.4.1_e8.2_400bps_5khz")
+        assert len(files) >= 3
+        reads = list(iter_reads(files[:2]))
+        assert len(reads) == 2
+
+    def test_by_channel_order(self):
+        from tests.conftest import REFERENCE_ROOT
+
+        path = (
+            REFERENCE_ROOT / "tests/data/single_channel_multi_read_pod5"
+        )
+        files = find_pod5_files(path, recursive=True)
+        if not files:
+            pytest.skip("fixture missing")
+        reads = list(iter_reads(files, by_channel=True))
+        chans = [r.channel for r in reads]
+        assert chans == sorted(chans)
