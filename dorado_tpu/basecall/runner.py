@@ -1,0 +1,220 @@
+"""Batched basecall engine: one jitted XLA program per (batch, chunk) shape.
+
+Replaces the reference's `ModelRunnerBase`/`CudaCaller` stack
+(dorado/basecall/include/basecall/ModelRunnerBase.h:20-38,
+dorado/basecall/CudaCaller.cpp): on TPU a runner is not a thread + stream but
+a compiled function. The whole device path — forward pass, CRF
+forward/backward log-sum-exp scans, posterior softmax and (in viterbi mode)
+the exact best-path traceback — is one XLA program over static `[N, T]`
+shapes, so XLA fuses scan steps and keeps intermediates in VMEM.
+
+Host-side work mirrors the reference's decode part 2
+(dorado/basecall/decode/CUDADecoder.cpp:115): sequence/qstring
+materialisation, and in `beam` mode the reference beam search.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from dorado_tpu.config import BasecallModelConfig
+from dorado_tpu.decode.beam_search import beam_search
+from dorado_tpu.decode.common import DecodedChunk, DecoderOptions, generate_sequence
+from dorado_tpu.models.crf_model import lstm_crf_forward
+from dorado_tpu.ops.crf_scan import (
+    backward_scores,
+    forward_scores,
+    viterbi_path,
+)
+
+
+def _qual_data_from_posts_batch(
+    states: np.ndarray, posts: np.ndarray, num_states: int
+) -> np.ndarray:
+    """Vectorised per-block base probabilities for a whole batch.
+
+    states: [N, T]; posts: [N, T+1, S]. Mirrors the per-chunk logic of
+    decode/beam_search.py::_qual_data_from_posts (beam_search.cpp:411-470).
+    """
+    n, t = states.shape
+    msb = num_states >> 2
+    state = states.astype(np.int64)
+    base = (state & 3).astype(np.int64)
+
+    l_shift = state >> 2
+    r_shift = (state << 2) % num_states
+    shift_base = np.arange(4, dtype=np.int64)
+    shifted = np.empty((n, t, 8), dtype=np.int64)
+    shifted[..., 0::2] = l_shift[..., None] + msb * shift_base
+    shifted[..., 1::2] = r_shift[..., None] + shift_base
+
+    t_posts = posts[:, 1 : t + 1]  # [N, T, S]
+    block_prob = np.take_along_axis(t_posts, state[..., None], axis=2)[..., 0].astype(
+        np.float32
+    )
+
+    not_self = shifted != state[..., None]
+    first = np.ones_like(not_self)
+    for j in range(1, 8):
+        dup = (shifted[..., :j] == shifted[..., j : j + 1]).any(axis=-1)
+        first[..., j] = ~dup
+    count = not_self & first
+    gathered = np.take_along_axis(t_posts, shifted, axis=2).astype(np.float32)
+    block_prob = block_prob + (gathered * count).sum(axis=-1)
+
+    block_prob = np.clip(block_prob, 0.0, 1.0) ** 0.4
+    wrong = (1.0 - block_prob) / 3.0
+
+    qual = np.repeat(wrong[..., None], 4, axis=-1)
+    np.put_along_axis(qual, base[..., None], block_prob[..., None], axis=-1)
+    return qual
+
+
+@dataclass
+class RunnerStats:
+    batches_called: int = 0
+    chunks_called: int = 0
+    samples_called: int = 0  # incl. padding
+
+
+class BasecallRunner:
+    """Owns model params + the compiled device program for one (N, T) shape.
+
+    decoder:
+      - "viterbi": exact best path, fully on device (fast path);
+      - "beam":    device scans + reference beam search on host
+                   (parity path, matches dorado's default decode).
+    """
+
+    def __init__(
+        self,
+        config: BasecallModelConfig,
+        params,
+        chunk_size: int | None = None,
+        batch_size: int | None = None,
+        decoder: str = "beam",
+        compute_dtype=jnp.float32,
+        use_pallas: bool = False,
+    ):
+        self.config = config
+        self.chunk_size = int(chunk_size or config.basecaller.chunk_size)
+        granularity = config.chunk_size_granularity
+        self.chunk_size -= self.chunk_size % granularity
+        self.batch_size = int(batch_size or config.basecaller.batch_size or 128)
+        self.decoder = decoder
+        self.options = DecoderOptions(
+            blank_score=config.blank_score if config.blank_score is not None else 2.0,
+            q_shift=config.qbias,
+            q_scale=config.qscale,
+        )
+        self.stats = RunnerStats()
+        self.params = jax.tree_util.tree_map(
+            lambda x: jnp.asarray(x, dtype=compute_dtype), params
+        )
+        self._compute_dtype = compute_dtype
+        self._use_pallas = use_pallas
+
+        if config.is_tx_model:
+            from dorado_tpu.models.tx_model import tx_forward
+
+            def fwd(p, sig):
+                return tx_forward(p, sig.astype(compute_dtype), config)
+
+        else:
+
+            def fwd(p, sig):
+                return lstm_crf_forward(
+                    p, sig.astype(compute_dtype), config, use_pallas=use_pallas
+                )
+
+        blank = float(self.options.blank_score)
+
+        @jax.jit
+        def device_viterbi(p, sig):
+            scores = fwd(p, sig)  # [N, T_out, C] f32
+            scores_tnc = jnp.swapaxes(scores, 0, 1)
+            alpha = forward_scores(scores_tnc, blank)
+            beta = backward_scores(scores_tnc, blank)
+            posts = jax.nn.softmax(alpha + beta, axis=-1)
+            states, moves = viterbi_path(scores_tnc, blank)
+            return (
+                jnp.swapaxes(states, 0, 1),
+                jnp.swapaxes(moves, 0, 1),
+                jnp.swapaxes(posts, 0, 1),
+            )
+
+        @jax.jit
+        def device_beam(p, sig):
+            scores = fwd(p, sig)
+            scores_tnc = jnp.swapaxes(scores, 0, 1)
+            alpha = forward_scores(scores_tnc, blank)
+            beta = backward_scores(scores_tnc, blank)
+            posts = jax.nn.softmax(alpha + beta, axis=-1)
+            return (
+                scores,  # [N, T_out, C]
+                jnp.swapaxes(beta, 0, 1),  # [N, T_out+1, S] back guides
+                jnp.swapaxes(posts, 0, 1),
+            )
+
+        self._device_fn = device_viterbi if decoder == "viterbi" else device_beam
+
+    @property
+    def t_out(self) -> int:
+        return self.chunk_size // self.config.stride
+
+    def make_input_buffer(self) -> np.ndarray:
+        return np.zeros((self.batch_size, self.chunk_size), dtype=np.float32)
+
+    def accept_chunk(self, buffer: np.ndarray, idx: int, signal: np.ndarray) -> None:
+        """Copy one (possibly short) chunk into the batch, repeat-padding to
+        chunk_size (BasecallerNode.cpp:431-440)."""
+        n = len(signal)
+        if n == self.chunk_size:
+            buffer[idx] = signal
+        else:
+            reps = -(-self.chunk_size // n)
+            buffer[idx] = np.tile(signal, reps)[: self.chunk_size]
+
+    def call_chunks(self, buffer: np.ndarray, num_chunks: int) -> list[DecodedChunk]:
+        """Run the device program and materialise per-chunk calls."""
+        self.stats.batches_called += 1
+        self.stats.chunks_called += num_chunks
+        self.stats.samples_called += buffer.shape[0] * buffer.shape[1]
+
+        out = self._device_fn(self.params, jnp.asarray(buffer))
+        if self.decoder == "viterbi":
+            states, moves, posts = (np.asarray(o) for o in out)
+            qual = _qual_data_from_posts_batch(
+                states[:num_chunks], posts[:num_chunks], self.config.num_states
+            )
+            results = []
+            for i in range(num_chunks):
+                seq, qstring = generate_sequence(
+                    moves[i], states[i], qual[i], self.options.q_shift, self.options.q_scale
+                )
+                results.append(
+                    DecodedChunk(sequence=seq, qstring=qstring, moves=moves[i])
+                )
+            return results
+
+        scores, back_guides, posts = (np.asarray(o) for o in out)
+        results = []
+        for i in range(num_chunks):
+            states, moves, qual_data, _ = beam_search(
+                scores[i],
+                back_guides[i],
+                posts[i],
+                self.options.beam_width,
+                self.options.beam_cut,
+                self.options.blank_score,
+            )
+            seq, qstring = generate_sequence(
+                moves, states, qual_data, self.options.q_shift, self.options.q_scale
+            )
+            results.append(DecodedChunk(sequence=seq, qstring=qstring, moves=moves))
+        return results

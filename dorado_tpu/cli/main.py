@@ -1,0 +1,126 @@
+"""CLI dispatch (parity: dorado/cli/main.cpp:91-102).
+
+Subcommands mirror the reference binary: basecaller, download, summary, ...
+(others are added as the corresponding subsystems land).
+"""
+
+from __future__ import annotations
+
+import argparse
+import sys
+import time
+from pathlib import Path
+
+
+def _add_basecaller(sub: argparse._SubParsersAction) -> None:
+    p = sub.add_parser("basecaller", help="Run simplex basecalling")
+    p.add_argument("model", help="Path to a model directory")
+    p.add_argument("data", help="POD5 file or directory")
+    p.add_argument("-r", "--recursive", action="store_true")
+    p.add_argument("-o", "--output", default="-", help="Output path (- = stdout)")
+    p.add_argument(
+        "--emit-sam", action="store_true", help="Emit SAM instead of BAM"
+    )
+    p.add_argument("--emit-fastq", action="store_true")
+    p.add_argument("--emit-moves", action="store_true")
+    p.add_argument("-c", "--chunksize", type=int, default=None)
+    p.add_argument("-b", "--batchsize", type=int, default=None)
+    p.add_argument("--overlap", type=int, default=None)
+    p.add_argument(
+        "--decoder",
+        choices=["beam", "viterbi"],
+        default="beam",
+        help="beam = reference-parity beam search; viterbi = fast exact path",
+    )
+    p.add_argument("--dtype", choices=["float32", "bfloat16"], default=None)
+    p.set_defaults(func=_run_basecaller)
+
+
+def _run_basecaller(args: argparse.Namespace) -> int:
+    import jax.numpy as jnp
+
+    from dorado_tpu.io.sam import BamWriter, FastqWriter, SamWriter
+    from dorado_tpu.models.load import load_model
+    from dorado_tpu.pipeline.basecaller import BasecallerPipeline
+
+    config, params = load_model(args.model)
+    dtype = {"float32": jnp.float32, "bfloat16": jnp.bfloat16, None: None}[args.dtype]
+    pipeline = BasecallerPipeline(
+        config,
+        params,
+        chunk_size=args.chunksize,
+        batch_size=args.batchsize,
+        overlap=args.overlap,
+        decoder=args.decoder,
+        emit_moves=args.emit_moves,
+        compute_dtype=dtype,
+    )
+
+    from dorado_tpu.io.pod5 import find_pod5_files
+
+    files = find_pod5_files(args.data, recursive=args.recursive)
+    if not files:
+        print(f"> No POD5 files found under {args.data}", file=sys.stderr)
+        return 1
+    header = pipeline.build_header(files, cli_line=" ".join(sys.argv))
+
+    out_is_stdout = args.output == "-"
+    if args.emit_fastq:
+        fh = sys.stdout if out_is_stdout else open(args.output, "w")
+        writer = FastqWriter(fh, header)
+    elif args.emit_sam:
+        fh = sys.stdout if out_is_stdout else open(args.output, "w")
+        writer = SamWriter(fh, header)
+    else:
+        fh = sys.stdout.buffer if out_is_stdout else open(args.output, "wb")
+        writer = BamWriter(fh, header)
+
+    t0 = time.perf_counter()
+    stats = pipeline.run(args.data, writer, recursive=args.recursive)
+    writer.close()
+    if not out_is_stdout:
+        fh.close()
+    elapsed = time.perf_counter() - t0
+
+    # throughput log line parity: dorado/cli/cli_lib/ProgressTracker.cpp:73-77
+    print(f"> Reads basecalled: {stats.reads_called}", file=sys.stderr)
+    print(f"> Basecalled @ Samples/s: {stats.samples_processed / elapsed:.3e}", file=sys.stderr)
+    print(f"> Basecalled @ Bases/s: {stats.bases_called / elapsed:.3e}", file=sys.stderr)
+    if stats.samples_incl_padding:
+        pct = 100.0 * (1.0 - stats.samples_processed / stats.samples_incl_padding)
+        print(f"> Padding percentage: {pct:.1f}%", file=sys.stderr)
+    return 0
+
+
+def _add_download(sub: argparse._SubParsersAction) -> None:
+    p = sub.add_parser("download", help="Download basecalling models")
+    p.add_argument("--model", default="all")
+    p.add_argument("--list", action="store_true")
+    p.add_argument("--list-yaml", action="store_true")
+    p.add_argument("--directory", default=".")
+    p.set_defaults(func=_run_download)
+
+
+def _run_download(args: argparse.Namespace) -> int:
+    from dorado_tpu.models.registry import list_models
+
+    if args.list or args.list_yaml:
+        for name in list_models():
+            print(name)
+        return 0
+    from dorado_tpu.models.downloader import download_model
+
+    return download_model(args.model, Path(args.directory))
+
+
+def main(argv: list[str] | None = None) -> int:
+    parser = argparse.ArgumentParser(prog="dorado_tpu")
+    sub = parser.add_subparsers(dest="command", required=True)
+    _add_basecaller(sub)
+    _add_download(sub)
+    args = parser.parse_args(argv)
+    return args.func(args)
+
+
+if __name__ == "__main__":
+    sys.exit(main())

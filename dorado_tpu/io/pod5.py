@@ -70,6 +70,7 @@ class Pod5Read:
     predicted_scaling_scale: float
     predicted_scaling_shift: float
     run_info: RunInfo
+    filename: str = ""
 
 
 def _read_footer_embedded_files(data: memoryview) -> list[tuple[int, int]]:
@@ -191,6 +192,10 @@ class Pod5File:
     @property
     def num_reads(self) -> int:
         return self._reads.num_rows
+
+    @property
+    def run_infos(self) -> list[RunInfo]:
+        return list(self._run_infos)
 
     def read_ids(self) -> list[str]:
         col = self._reads["read_id"]

@@ -1,0 +1,314 @@
+"""Simplex basecalling pipeline: POD5 -> scaled chunks -> TPU engine -> BAM.
+
+TPU-first re-architecture of the reference's thread/queue node graph
+(dorado/api/pipeline_creation.cpp:46-120 and the nodes it wires): host code
+here is a *feeder* (scale + chunk + batch-fill) and a *finisher* (stitch +
+tags + write); all dense math runs inside the jitted `BasecallRunner`
+program. Because the engine is a pure compiled function, "pipeline
+parallelism" reduces to overlapping host feed/finish with device steps —
+no AsyncQueues, no per-node worker threads.
+
+Per-read semantics follow ScalerNode (dorado/read_pipeline/nodes/
+ScalerNode.cpp:143-270), BasecallerNode chunking/stitch (BasecallerNode.cpp:
+96-286) and ReadCommon tag generation (read_pipeline/base/messages.cpp:43-130).
+"""
+
+from __future__ import annotations
+
+import time
+from dataclasses import dataclass, field
+from pathlib import Path
+
+import numpy as np
+
+from dorado_tpu.basecall.runner import BasecallRunner
+from dorado_tpu.config import BasecallModelConfig, ScalingStrategy
+from dorado_tpu.io.pod5 import Pod5File, Pod5Read, find_pod5_files
+from dorado_tpu.io.sam import SamHeader, SamRecord, SamTag
+from dorado_tpu.signal.chunk import generate_chunks
+from dorado_tpu.signal.scaling import Scaler
+from dorado_tpu.signal.stitch import CalledChunk, stitch_chunks
+from dorado_tpu.signal.trim import trim_signal
+from dorado_tpu.utils import find_rna_polya, mean_qscore_from_qstring
+from dorado_tpu.utils.time_utils import timestamp_from_unix_ms
+
+
+@dataclass
+class PipelineStats:
+    reads_called: int = 0
+    samples_processed: int = 0  # real samples fed to the model (excl. padding)
+    samples_incl_padding: int = 0
+    bases_called: int = 0
+    batches: int = 0
+    elapsed_s: float = 0.0
+
+    @property
+    def samples_per_s(self) -> float:
+        return self.samples_processed / self.elapsed_s if self.elapsed_s else 0.0
+
+    @property
+    def bases_per_s(self) -> float:
+        return self.bases_called / self.elapsed_s if self.elapsed_s else 0.0
+
+
+@dataclass
+class _WorkingRead:
+    read: Pod5Read
+    scaled: np.ndarray
+    num_trimmed: int
+    shift_pa: float
+    scale_pa: float
+    scaling_method: str
+    offsets: list[int]
+    chunk_sizes: list[int]
+    results: list = field(default_factory=list)
+    pending: int = 0
+
+
+class BasecallerPipeline:
+    def __init__(
+        self,
+        config: BasecallModelConfig,
+        params,
+        chunk_size: int | None = None,
+        batch_size: int | None = None,
+        overlap: int | None = None,
+        decoder: str = "beam",
+        emit_moves: bool = False,
+        compute_dtype=None,
+        use_pallas: bool = False,
+    ):
+        import jax.numpy as jnp
+
+        self.config = config
+        if not config.has_normalised_basecaller_params():
+            config.normalise_basecaller_params()
+        self.runner = BasecallRunner(
+            config,
+            params,
+            chunk_size=chunk_size,
+            batch_size=batch_size,
+            decoder=decoder,
+            compute_dtype=compute_dtype or jnp.float32,
+            use_pallas=use_pallas,
+        )
+        self.overlap = int(overlap or config.basecaller.overlap)
+        self.overlap -= self.overlap % config.stride
+        self.emit_moves = emit_moves
+        self.scaler = Scaler(config.signal_norm_params, is_rna=config.is_rna_model)
+        self.stats = PipelineStats()
+
+        self._buffer = self.runner.make_input_buffer()
+        self._batch: list[tuple[_WorkingRead, int]] = []  # (read, chunk index)
+
+    # ------------------------------------------------------------------
+    # header
+    # ------------------------------------------------------------------
+
+    def build_header(self, pod5_files: list[Path], cli_line: str = "") -> SamHeader:
+        header = SamHeader()
+        header.programs.append(
+            {
+                "ID": "basecaller",
+                "PN": "dorado_tpu",
+                "VN": "0.1.0",
+                "CL": cli_line or "dorado_tpu basecaller",
+            }
+        )
+        seen: dict[str, dict] = {}
+        for f in pod5_files:
+            reader = Pod5File(f)
+            for ri in reader.run_infos:
+                rg_id = f"{ri.protocol_run_id}_{self.config.model_name}"
+                if rg_id in seen:
+                    continue
+                seen[rg_id] = {
+                    "ID": rg_id,
+                    "PU": ri.flow_cell_id or "unknown",
+                    "PM": ri.system_name or "unknown",
+                    "DT": timestamp_from_unix_ms(ri.acquisition_start_time_ms),
+                    "PL": "ONT",
+                    "DS": (
+                        f"runid={ri.protocol_run_id or 'unknown'}"
+                        f" basecall_model={self.config.model_name}"
+                        f" acquisition_start_time="
+                        f"{timestamp_from_unix_ms(ri.acquisition_start_time_ms)}"
+                        f" model_stride={self.config.stride}"
+                    ),
+                    "LB": ri.sample_id or "unknown",
+                }
+        header.read_groups = list(seen.values())
+        return header
+
+    # ------------------------------------------------------------------
+    # per-read feed
+    # ------------------------------------------------------------------
+
+    def _scale_and_trim(self, read: Pod5Read) -> tuple[np.ndarray, int, float, float, str]:
+        strategy = self.config.signal_norm_params.strategy
+        scaled, rna_trim, result = self.scaler.scale_read(
+            read.signal,
+            read_scale=read.calibration_scale,
+            read_offset=read.calibration_offset,
+            open_pore_level=read.open_pore_level,
+            flow_cell_product_code=read.run_info.flow_cell_product_code,
+        )
+        trim_start = rna_trim
+        if not self.config.is_rna_model:
+            if self.config.signal_norm_params.standardisation.standardise:
+                # kit14 pA-standardised data: constant trim (ScalerNode.cpp:238-243)
+                trim_start = 10
+            else:
+                max_samples = min(8000, len(scaled) // 2)
+                trim_start = trim_signal(scaled[:max_samples])
+            if trim_start < len(scaled):
+                scaled = scaled[trim_start:]
+            else:
+                trim_start = 0
+        # tags report shift/scale in pA space (ScalerNode.cpp:231-234)
+        shift_pa = read.calibration_scale * (result.shift + read.calibration_offset)
+        scale_pa = read.calibration_scale * result.scale
+        return scaled.astype(np.float32), trim_start, shift_pa, scale_pa, strategy.value
+
+    def _feed_read(self, read: Pod5Read, flush_cb) -> None:
+        scaled, trimmed, shift_pa, scale_pa, method = self._scale_and_trim(read)
+        if len(scaled) == 0:
+            return
+        offsets = generate_chunks(
+            len(scaled), self.runner.chunk_size, self.config.stride, self.overlap
+        )
+        sizes = [min(self.runner.chunk_size, len(scaled) - off) for off in offsets]
+        wr = _WorkingRead(
+            read=read,
+            scaled=scaled,
+            num_trimmed=trimmed,
+            shift_pa=shift_pa,
+            scale_pa=scale_pa,
+            scaling_method=method,
+            offsets=offsets,
+            chunk_sizes=sizes,
+        )
+        wr.results = [None] * len(offsets)
+        wr.pending = len(offsets)
+        self.stats.samples_processed += len(scaled)
+        for ci, off in enumerate(offsets):
+            idx = len(self._batch)
+            self.runner.accept_chunk(self._buffer, idx, scaled[off : off + sizes[ci]])
+            self._batch.append((wr, ci))
+            if len(self._batch) == self.runner.batch_size:
+                flush_cb()
+
+    def _flush_batch(self, finished: list[_WorkingRead]) -> None:
+        if not self._batch:
+            return
+        n = len(self._batch)
+        if n < self.runner.batch_size:
+            self._buffer[n:] = 0.0
+        decoded = self.runner.call_chunks(self._buffer, n)
+        self.stats.batches += 1
+        self.stats.samples_incl_padding += self._buffer.size
+        for (wr, ci), chunk in zip(self._batch, decoded):
+            wr.results[ci] = chunk
+            wr.pending -= 1
+            if wr.pending == 0:
+                finished.append(wr)
+        self._batch.clear()
+
+    # ------------------------------------------------------------------
+    # finish: stitch + record
+    # ------------------------------------------------------------------
+
+    def _finish_read(self, wr: _WorkingRead) -> SamRecord:
+        called = [
+            CalledChunk(
+                seq=res.sequence,
+                qstring=res.qstring,
+                moves=np.asarray(res.moves, dtype=np.uint8),
+                input_offset=off,
+                raw_chunk_size=size,
+            )
+            for res, off, size in zip(wr.results, wr.offsets, wr.chunk_sizes)
+        ]
+        stitched = stitch_chunks(called, self.config.stride, len(wr.scaled))
+        seq, qstring, moves = stitched.seq, stitched.qstring, stitched.moves
+
+        if self.config.is_rna_model:
+            # RNA is sequenced 3'->5'; emit in standard orientation
+            # (BasecallerNode.cpp:251-259)
+            seq = seq[::-1]
+            qstring = qstring[::-1]
+            moves = np.ascontiguousarray(moves[::-1])
+
+        self.stats.reads_called += 1
+        self.stats.bases_called += len(seq)
+        return self._make_record(wr, seq, qstring, moves)
+
+    def _mean_qscore(self, seq: str, qstring: str) -> float:
+        if self.config.is_rna_model:
+            polya = find_rna_polya(seq)
+            return mean_qscore_from_qstring(qstring[:polya] if polya else qstring)
+        start = self.config.mean_qscore_start_pos
+        if start < 0:
+            start = 60
+        if len(qstring) <= start:
+            return mean_qscore_from_qstring(qstring)
+        return mean_qscore_from_qstring(qstring[start:])
+
+    def _make_record(
+        self, wr: _WorkingRead, seq: str, qstring: str, moves: np.ndarray
+    ) -> SamRecord:
+        read = wr.read
+        ri = read.run_info
+        sample_rate = ri.sample_rate or self.config.sample_rate
+        num_samples = len(wr.scaled)
+        start_ms = ri.acquisition_start_time_ms + (
+            read.start_sample * 1000
+        ) // max(1, sample_rate)
+
+        tags = [
+            SamTag("qs", "f", self._mean_qscore(seq, qstring)),
+            SamTag("du", "f", (num_samples + wr.num_trimmed) / float(sample_rate)),
+            SamTag("ns", "i", num_samples + wr.num_trimmed),
+            SamTag("ts", "i", wr.num_trimmed),
+            SamTag("mx", "i", read.well),
+            SamTag("ch", "i", read.channel),
+            SamTag("st", "Z", timestamp_from_unix_ms(start_ms)),
+            SamTag("rn", "i", read.read_number),
+            SamTag("fn", "Z", read.filename),
+            SamTag("sm", "f", wr.shift_pa),
+            SamTag("sd", "f", wr.scale_pa),
+            SamTag("sv", "Z", wr.scaling_method),
+            SamTag("dx", "i", 0),
+            SamTag("RG", "Z", f"{ri.protocol_run_id}_{self.config.model_name}"),
+        ]
+        if self.emit_moves:
+            mv = np.concatenate(
+                [[np.uint8(self.config.stride)], moves.astype(np.uint8)]
+            )
+            tags.append(SamTag("mv", "B", mv, subtype="c"))
+
+        return SamRecord(qname=read.read_id, seq=seq, qual=qstring, tags=tags)
+
+    # ------------------------------------------------------------------
+    # run
+    # ------------------------------------------------------------------
+
+    def run(self, input_path: Path | str, writer, recursive: bool = False) -> PipelineStats:
+        """Basecall every read in every POD5 under ``input_path``."""
+        t0 = time.perf_counter()
+        files = find_pod5_files(input_path, recursive=recursive)
+        finished: list[_WorkingRead] = []
+
+        def flush():
+            self._flush_batch(finished)
+            while finished:
+                writer.write(self._finish_read(finished.pop()))
+
+        for f in files:
+            reader = Pod5File(f)
+            for read in reader.reads():
+                read.filename = f.name
+                self._feed_read(read, flush)
+        flush()
+        self.stats.elapsed_s = time.perf_counter() - t0
+        return self.stats

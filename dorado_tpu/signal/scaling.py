@@ -178,14 +178,13 @@ class Scaler:
                 rna_adapter_end = pos
 
         strategy = self.params.strategy
+        adjustment = 0.0
         if strategy is ScalingStrategy.PA:
             result = pa_scaling(self.params, read_scale, read_offset)
-            result = ScalingResult(
-                shift=result.shift
-                + open_pore_adjustment(
-                    open_pore_level, flow_cell_product_code, read_scale
-                ),
-                scale=result.scale,
+            # applied to the signal but NOT reported in the sm/sd tags
+            # (ScalerNode.cpp:228-234)
+            adjustment = open_pore_adjustment(
+                open_pore_level, flow_cell_product_code, read_scale
             )
         else:
             scaling_view = signal[rna_adapter_end:]
@@ -194,5 +193,5 @@ class Scaler:
             else:
                 result = med_mad(scaling_view)
 
-        scaled = (signal.astype(np.float32) - result.shift) / result.scale
+        scaled = (signal.astype(np.float32) - (result.shift + adjustment)) / result.scale
         return scaled, trim_start, result

@@ -1,0 +1,219 @@
+"""End-to-end simplex pipeline tests: POD5 -> engine -> BAM/SAM/FASTQ.
+
+Uses a fabricated model dir (real reference config.toml + random weights in
+the dorado on-disk layout) over real reference POD5 fixtures. With random
+weights the bases are meaningless, but every structural contract is checked:
+chunking/stitching consistency (move table sums = sequence length), tag set,
+BAM binary round-trip, throughput stats.
+"""
+
+import io
+import shutil
+import struct
+import subprocess
+import sys
+import zlib
+from pathlib import Path
+
+import jax
+import numpy as np
+import pytest
+
+from dorado_tpu.config import load_model_config
+from dorado_tpu.io.pod5 import find_pod5_files
+from dorado_tpu.io.sam import BamWriter, SamWriter
+from dorado_tpu.models.crf_model import init_lstm_crf_params
+from dorado_tpu.models.load import load_model, save_lstm_params
+from dorado_tpu.pipeline.basecaller import BasecallerPipeline
+
+REF_CONFIGS = Path("/root/reference/tests/data/model_configs")
+FAST = "dna_r10.4.1_e8.2_260bps_fast@v4.0.0"
+HAC = "dna_r10.4.1_e8.2_400bps_hac@v4.3.0"
+POD5_DIR = Path("/root/reference/tests/data/pod5/dna_r10.4.1_e8.2_400bps_5khz")
+
+
+@pytest.fixture(scope="module")
+def fast_model_dir(tmp_path_factory):
+    d = tmp_path_factory.mktemp("fastmodel") / FAST
+    d.mkdir()
+    shutil.copy(REF_CONFIGS / FAST / "config.toml", d / "config.toml")
+    config = load_model_config(d)
+    params = init_lstm_crf_params(config, jax.random.PRNGKey(1))
+    save_lstm_params(config, params, d)
+    return d
+
+
+def _decode_bam(path: Path):
+    """Minimal BGZF+BAM parser returning (header_text, records)."""
+    raw = b""
+    data = path.read_bytes()
+    pos = 0
+    while pos < len(data):
+        assert data[pos : pos + 2] == b"\x1f\x8b"
+        xlen = struct.unpack("<H", data[pos + 10 : pos + 12])[0]
+        extra = data[pos + 12 : pos + 12 + xlen]
+        bsize = None
+        epos = 0
+        while epos < len(extra):
+            si1, si2, slen = extra[epos], extra[epos + 1], struct.unpack("<H", extra[epos + 2 : epos + 4])[0]
+            if si1 == 66 and si2 == 67:
+                bsize = struct.unpack("<H", extra[epos + 4 : epos + 6])[0] + 1
+            epos += 4 + slen
+        cdata = data[pos + 12 + xlen : pos + bsize - 8]
+        raw += zlib.decompress(cdata, -15)
+        pos += bsize
+    assert raw[:4] == b"BAM\x01"
+    l_text = struct.unpack("<i", raw[4:8])[0]
+    text = raw[8 : 8 + l_text].decode()
+    p = 8 + l_text
+    n_ref = struct.unpack("<i", raw[p : p + 4])[0]
+    p += 4
+    for _ in range(n_ref):
+        l_name = struct.unpack("<i", raw[p : p + 4])[0]
+        p += 4 + l_name + 4
+    records = []
+    while p < len(raw):
+        block_size = struct.unpack("<i", raw[p : p + 4])[0]
+        block = raw[p + 4 : p + 4 + block_size]
+        l_read_name = block[8]
+        n_cigar = struct.unpack("<H", block[12:14])[0]
+        l_seq = struct.unpack("<i", block[16:20])[0]
+        name = block[32 : 32 + l_read_name - 1].decode()
+        q = 32 + l_read_name + 4 * n_cigar
+        nib = block[q : q + (l_seq + 1) // 2]
+        seq = ""
+        lut = "=ACMGRSVTWYHKDBN"
+        for i in range(l_seq):
+            b = nib[i // 2]
+            seq += lut[(b >> 4) if i % 2 == 0 else (b & 0xF)]
+        q += (l_seq + 1) // 2
+        qual = bytes(c + 33 for c in block[q : q + l_seq]).decode()
+        records.append({"name": name, "seq": seq, "qual": qual, "aux": block[q + l_seq :]})
+        p += 4 + block_size
+    return text, records
+
+
+def _aux_tags(aux: bytes) -> dict:
+    tags = {}
+    p = 0
+    while p < len(aux):
+        tag = aux[p : p + 2].decode()
+        typ = chr(aux[p + 2])
+        p += 3
+        if typ == "Z":
+            end = aux.index(0, p)
+            tags[tag] = aux[p:end].decode()
+            p = end + 1
+        elif typ == "f":
+            tags[tag] = struct.unpack("<f", aux[p : p + 4])[0]
+            p += 4
+        elif typ in "iI":
+            tags[tag] = struct.unpack("<i", aux[p : p + 4])[0]
+            p += 4
+        elif typ in "cC":
+            tags[tag] = aux[p]
+            p += 1
+        elif typ in "sS":
+            tags[tag] = struct.unpack("<h", aux[p : p + 2])[0]
+            p += 2
+        elif typ == "A":
+            tags[tag] = chr(aux[p])
+            p += 1
+        elif typ == "B":
+            sub = chr(aux[p])
+            n = struct.unpack("<I", aux[p + 1 : p + 5])[0]
+            size = {"c": 1, "C": 1, "s": 2, "S": 2, "i": 4, "I": 4, "f": 4}[sub]
+            fmt = {"c": "b", "C": "B", "s": "h", "S": "H", "i": "i", "I": "I", "f": "f"}[sub]
+            tags[tag] = list(struct.unpack(f"<{n}{fmt}", aux[p + 5 : p + 5 + n * size]))
+            p += 5 + n * size
+        else:
+            raise AssertionError(f"unknown tag type {typ}")
+    return tags
+
+
+class TestPipeline:
+    @pytest.mark.parametrize("decoder", ["viterbi", "beam"])
+    def test_end_to_end_bam(self, fast_model_dir, tmp_path, decoder):
+        config, params = load_model(fast_model_dir)
+        pipeline = BasecallerPipeline(
+            config,
+            params,
+            chunk_size=4000,
+            batch_size=4,
+            decoder=decoder,
+            emit_moves=True,
+        )
+        files = find_pod5_files(POD5_DIR)
+        header = pipeline.build_header(files, cli_line="test")
+        out = tmp_path / "out.bam"
+        with open(out, "wb") as fh:
+            writer = BamWriter(fh, header)
+            stats = pipeline.run(POD5_DIR, writer)
+            writer.close()
+
+        assert stats.reads_called == 3  # one read per fixture file
+        assert stats.bases_called > 0
+
+        text, records = _decode_bam(out)
+        assert "@PG" in text and "@RG" in text and "basecall_model=" in text
+        assert len(records) == 3
+        for rec in records:
+            tags = _aux_tags(rec["aux"])
+            assert len(rec["seq"]) == len(rec["qual"]) > 0
+            for t in ("qs", "du", "ns", "ts", "mx", "ch", "st", "rn", "fn", "sm", "sd", "sv", "dx", "RG"):
+                assert t in tags, f"missing tag {t}"
+            # move table: stride first, then sum(moves) == seq length
+            mv = tags["mv"]
+            assert mv[0] == config.stride
+            assert sum(mv[1:]) == len(rec["seq"])
+            assert tags["ns"] - tags["ts"] >= 0
+            assert tags["sv"] == "quantile"
+            assert tags["RG"].endswith(config.model_name)
+
+    def test_cli_sam_output(self, fast_model_dir, tmp_path):
+        out = tmp_path / "out.sam"
+        r = subprocess.run(
+            [
+                sys.executable,
+                "-m",
+                "dorado_tpu",
+                "basecaller",
+                str(fast_model_dir),
+                str(POD5_DIR),
+                "--emit-sam",
+                "--decoder",
+                "viterbi",
+                "-o",
+                str(out),
+                "-b",
+                "4",
+                "-c",
+                "4000",
+            ],
+            capture_output=True,
+            text=True,
+            timeout=600,
+        )
+        assert r.returncode == 0, r.stderr
+        assert "Basecalled @ Samples/s" in r.stderr
+        lines = out.read_text().splitlines()
+        body = [l for l in lines if not l.startswith("@")]
+        assert len(body) == 3
+        for line in body:
+            f = line.split("\t")
+            assert f[1] == "4"  # unmapped flag
+            assert len(f[9]) == len(f[10])
+
+    def test_stats_consistency(self, fast_model_dir):
+        config, params = load_model(fast_model_dir)
+        pipeline = BasecallerPipeline(
+            config, params, chunk_size=4000, batch_size=4, decoder="viterbi"
+        )
+
+        class NullWriter:
+            def write(self, rec):
+                pass
+
+        stats = pipeline.run(POD5_DIR, NullWriter())
+        assert stats.samples_incl_padding >= stats.samples_processed
+        assert stats.batches >= 1
