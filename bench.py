@@ -40,7 +40,10 @@ def main() -> None:
     chunk = 288 * config.stride  # 1728, same as the reference sweep
     key = jax.random.PRNGKey(0)
     params = init_lstm_crf_params(config, key, dtype=jnp.bfloat16)
-    forward = make_crf_forward_fn(config, compute_dtype=jnp.bfloat16)
+    use_pallas = jax.default_backend() == "tpu"
+    forward = make_crf_forward_fn(
+        config, use_pallas=use_pallas, compute_dtype=jnp.bfloat16
+    )
 
     @partial(jax.jit, static_argnums=(2,))
     def chained(p, sig, iters):

@@ -118,16 +118,17 @@ def init_lstm_crf_params(
 
 def conv_stack(params: Params, x: jnp.ndarray, config: BasecallModelConfig) -> jnp.ndarray:
     """[N, T, C_in] -> [N, T/stride, C_out] feature-last 1D convolutions."""
+    dtype = x.dtype
     for cv, p in zip(config.convs, params["convs"]):
         x = jax.lax.conv_general_dilated(
             x,
-            p["w"].astype(x.dtype),
+            p["w"].astype(dtype),
             window_strides=(cv.stride,),
             padding=[(cv.padding, cv.padding)],
             dimension_numbers=("NHC", "HIO", "NHC"),
             preferred_element_type=jnp.float32,
         )
-        x = (x + p["b"].astype(jnp.float32)).astype(x.dtype)
+        x = (x + p["b"].astype(jnp.float32)).astype(dtype)
         x = _activation_fn(cv.activation)(x)
     return x
 
@@ -153,12 +154,13 @@ def lstm_layer(
     if reverse:
         xproj = jnp.flip(xproj, axis=1)
 
-    if use_pallas:
-        from dorado_tpu.ops.lstm import lstm_scan_pallas
+    xproj_t = jnp.swapaxes(xproj, 0, 1)  # [T, N, 4H]
 
-        out = lstm_scan_pallas(xproj, w_hh)
+    if use_pallas:
+        from dorado_tpu.ops.lstm import lstm_scan_time_major
+
+        out_t = lstm_scan_time_major(xproj_t.astype(dtype), w_hh.T)
     else:
-        xproj_t = jnp.swapaxes(xproj, 0, 1)  # [T, N, 4H]
 
         def step(carry, xp):
             h_prev, c_prev = carry
@@ -175,11 +177,34 @@ def lstm_layer(
             jnp.zeros((n, h), jnp.float32),
         )
         _, out_t = jax.lax.scan(step, init, xproj_t)
-        out = jnp.swapaxes(out_t, 0, 1)  # [N, T, H]
+    out = jnp.swapaxes(out_t, 0, 1)  # [N, T, H]
 
     if reverse:
         out = jnp.flip(out, axis=1)
     return out
+
+
+def _lstm_stack_pallas(params: Params, x: jnp.ndarray, reverse_first: bool) -> jnp.ndarray:
+    """Time-major fused-LSTM stack: one transpose in, one out, zero flips —
+    alternating direction is handled by the kernel's reversed grid walk."""
+    from dorado_tpu.ops.lstm import lstm_scan_time_major
+
+    dtype = x.dtype
+    xt = jnp.swapaxes(x, 0, 1)  # [T, N, H]
+    for i, p in enumerate(params["lstms"]):
+        reverse = (i % 2 == 0) if reverse_first else (i % 2 == 1)
+        bias = (p["b_ih"] + p["b_hh"]).astype(jnp.float32)
+        xproj = (
+            jnp.einsum(
+                "tnh,gh->tng",
+                xt,
+                p["w_ih"].astype(dtype),
+                preferred_element_type=jnp.float32,
+            )
+            + bias
+        ).astype(dtype)
+        xt = lstm_scan_time_major(xproj, p["w_hh"].T.astype(dtype), reverse=reverse)
+    return jnp.swapaxes(xt, 0, 1)
 
 
 def lstm_stack(
@@ -190,6 +215,8 @@ def lstm_stack(
 ) -> jnp.ndarray:
     """Alternating-direction LSTM layers (first layer reversed for v4 models,
     matching dorado/nn/LSTMStack.cpp:29-41)."""
+    if use_pallas:
+        return _lstm_stack_pallas(params, x, reverse_first)
     for i, p in enumerate(params["lstms"]):
         reverse = (i % 2 == 0) if reverse_first else (i % 2 == 1)
         x = lstm_layer(p, x, reverse=reverse, use_pallas=use_pallas)
