@@ -1,0 +1,253 @@
+"""Transformer (sup) basecalling model, TPU-first.
+
+Architecture parity with the reference TxModel
+(dorado/basecall/model/TxModel.cpp:10-42, dorado/nn/TxModules.cpp):
+
+  signal [N, T] -> conv stack (stride 12) -> [N, T', 512]
+  -> 18x TxEncoder (post-norm deepnorm):
+       attn = WindowedMHA(x)          # RoPE q/k, window [i-127, i+128]
+       x = RMSNorm1(attn + alpha*x)
+       f = SwiGLU-MLP(x)              # silu(gate) * y, fc1 -> 2*2048 -> fc2
+       x = RMSNorm2(f + alpha*x)
+  -> LinearUpsample x2 (T' -> 2T')
+  -> LinearScaledCRF (weights pre-scaled by crf.scale)
+  -> scores [N, T/stride, 4096] f32
+
+TPU-first choices:
+  - windowed attention runs as `num_splits` static query strips, each
+    attending only its [qb-win_lower, qe+win_upper] key strip (the
+    reference's MEA split loop, TxModules.cpp:259-286) — O(T*W) work with
+    static shapes XLA can fuse, no dynamic control flow;
+  - RoPE cos/sin tables are closed over as constants; rotation is
+    slice/concat on the last dim (non-interleaved halves, matching
+    RotaryEmbeddingImpl::forward);
+  - everything keeps the caller's compute dtype (bf16 on TPU) with f32
+    softmax/normalisation statistics.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from dorado_tpu.config import BasecallModelConfig
+from dorado_tpu.models.crf_model import conv_stack
+
+Params = dict
+
+
+# ---------------------------------------------------------------------------
+# Init
+# ---------------------------------------------------------------------------
+
+
+def init_tx_params(config: BasecallModelConfig, key: jax.Array, dtype=jnp.float32) -> Params:
+    tx = config.tx.tx
+    d, ff = tx.d_model, tx.dim_feedforward
+    params: Params = {"convs": [], "layers": []}
+    keys = jax.random.split(key, len(config.convs) + tx.depth + 2)
+    k_iter = iter(keys)
+
+    for cv in config.convs:
+        k = next(k_iter)
+        fan_in = cv.insize * cv.winlen
+        params["convs"].append(
+            {
+                "w": jax.random.normal(k, (cv.winlen, cv.insize, cv.size), dtype)
+                / np.sqrt(fan_in),
+                "b": jnp.zeros((cv.size,), dtype),
+            }
+        )
+
+    for _ in range(tx.depth):
+        k1, k2, k3, k4 = jax.random.split(next(k_iter), 4)
+        params["layers"].append(
+            {
+                "wqkv": jax.random.normal(k1, (3 * d, d), dtype) / np.sqrt(d),
+                "out_proj_w": jax.random.normal(k2, (d, d), dtype) / np.sqrt(d),
+                "out_proj_b": jnp.zeros((d,), dtype),
+                "fc1": jax.random.normal(k3, (2 * ff, d), dtype) / np.sqrt(d),
+                "fc2": jax.random.normal(k4, (d, ff), dtype) / np.sqrt(ff),
+                "norm1": jnp.ones((d,), dtype),
+                "norm2": jnp.ones((d,), dtype),
+            }
+        )
+
+    k = next(k_iter)
+    scale_factor = config.tx.upsample.scale_factor
+    params["upsample"] = {
+        "w": jax.random.normal(k, (scale_factor * d, d), dtype) / np.sqrt(d),
+        "b": jnp.zeros((scale_factor * d,), dtype),
+    }
+    k = next(k_iter)
+    params["crf"] = {
+        "w": jax.random.normal(k, (config.tx.crf.outsize, d), dtype) / np.sqrt(d)
+    }
+    return params
+
+
+# ---------------------------------------------------------------------------
+# Blocks
+# ---------------------------------------------------------------------------
+
+
+def rms_norm(x: jnp.ndarray, weight: jnp.ndarray, eps: float = 1e-5) -> jnp.ndarray:
+    """x * rsqrt(mean(x^2) + eps) * weight (nn/RMSNorm.cpp:11-15)."""
+    dtype = x.dtype
+    xf = x.astype(jnp.float32)
+    rstd = jax.lax.rsqrt(jnp.mean(xf * xf, axis=-1, keepdims=True) + eps)
+    return (xf * rstd).astype(dtype) * weight.astype(dtype)
+
+
+def rope_tables(t_len: int, head_dim: int, theta: float, dtype=jnp.float32):
+    """cos/sin [T, D/2] (RotaryEmbeddingImpl ctor, TxModules.cpp:184-197)."""
+    inv_freq = 1.0 / (theta ** (np.arange(0, head_dim, 2, dtype=np.float64) / head_dim))
+    freqs = np.arange(t_len, dtype=np.float64)[:, None] * inv_freq[None, :]
+    return (
+        jnp.asarray(np.cos(freqs), dtype),
+        jnp.asarray(np.sin(freqs), dtype),
+    )
+
+
+def apply_rope(q_or_k: jnp.ndarray, cos: jnp.ndarray, sin: jnp.ndarray) -> jnp.ndarray:
+    """[N, T, H, D] -> rotated; halves are non-interleaved
+    (RotaryEmbeddingImpl::forward slices [0:D/2], [D/2:D])."""
+    d2 = q_or_k.shape[-1] // 2
+    evens = q_or_k[..., :d2]
+    odds = q_or_k[..., d2:]
+    c = cos[None, :, None, :].astype(q_or_k.dtype)
+    s = sin[None, :, None, :].astype(q_or_k.dtype)
+    return jnp.concatenate([c * evens - s * odds, s * evens + c * odds], axis=-1)
+
+
+def _pad_to(x: int, m: int) -> int:
+    return -(-x // m) * m
+
+
+def windowed_attention(
+    q: jnp.ndarray,
+    k: jnp.ndarray,
+    v: jnp.ndarray,
+    win_upper: int,
+    win_lower: int,
+    num_splits: int = 12,
+) -> jnp.ndarray:
+    """[N, T, H, D] q/k/v -> [N, T, H, D]; query strip i attends keys
+    [qb - win_lower, qe + win_upper] with the exact band mask
+    (MultiHeadAttentionImpl::forward MEA split loop)."""
+    n, t, h, d = q.shape
+    scale = 1.0 / np.sqrt(d)
+    elems = _pad_to(-(-t // num_splits), 4)
+    outs = []
+    for i in range(num_splits):
+        qb = i * elems
+        if qb >= t:
+            break
+        qe = min(t, qb + elems)
+        kvb = max(0, qb - win_lower)
+        kve = min(t, qe + win_upper)
+        qs = q[:, qb:qe]
+        ks = k[:, kvb:kve]
+        vs = v[:, kvb:kve]
+        logits = jnp.einsum(
+            "nqhd,nkhd->nhqk", qs, ks, preferred_element_type=jnp.float32
+        ) * scale
+        qi = np.arange(qb, qe)[:, None]
+        kj = np.arange(kvb, kve)[None, :]
+        band = (kj - qi >= -win_upper) & (kj - qi <= win_lower)
+        logits = jnp.where(jnp.asarray(band)[None, None], logits, -1e30)
+        probs = jax.nn.softmax(logits, axis=-1).astype(q.dtype)
+        outs.append(jnp.einsum("nhqk,nkhd->nqhd", probs, vs))
+    return jnp.concatenate(outs, axis=1)
+
+
+def tx_encoder_layer(
+    p: Params,
+    x: jnp.ndarray,
+    cos: jnp.ndarray,
+    sin: jnp.ndarray,
+    nhead: int,
+    alpha: float,
+    win: tuple[int, int],
+) -> jnp.ndarray:
+    n, t, c = x.shape
+    dtype = x.dtype
+    head_dim = c // nhead
+
+    qkv = jnp.einsum(
+        "ntc,gc->ntg", x, p["wqkv"].astype(dtype), preferred_element_type=jnp.float32
+    ).astype(dtype)
+    qkv = qkv.reshape(n, t, 3, nhead, head_dim)
+    q = apply_rope(qkv[:, :, 0], cos, sin)
+    k = apply_rope(qkv[:, :, 1], cos, sin)
+    v = qkv[:, :, 2]
+
+    attn = windowed_attention(q, k, v, win[0], win[1])
+    attn = attn.reshape(n, t, c)
+    attn = (
+        jnp.einsum(
+            "ntc,dc->ntd",
+            attn,
+            p["out_proj_w"].astype(dtype),
+            preferred_element_type=jnp.float32,
+        )
+        + p["out_proj_b"].astype(jnp.float32)
+    ).astype(dtype)
+
+    x = rms_norm(attn + x * jnp.asarray(alpha, dtype), p["norm1"])
+
+    ff = jnp.einsum(
+        "ntc,fc->ntf", x, p["fc1"].astype(dtype), preferred_element_type=jnp.float32
+    ).astype(dtype)
+    y, gate = jnp.split(ff, 2, axis=-1)
+    t_act = jax.nn.silu(gate.astype(jnp.float32)).astype(dtype) * y
+    f = jnp.einsum(
+        "ntf,cf->ntc", t_act, p["fc2"].astype(dtype), preferred_element_type=jnp.float32
+    ).astype(dtype)
+
+    return rms_norm(f + x * jnp.asarray(alpha, dtype), p["norm2"])
+
+
+def tx_forward(
+    params: Params, signal: jnp.ndarray, config: BasecallModelConfig
+) -> jnp.ndarray:
+    """[N, T] (or [N, T, F]) -> [N, T/stride, outsize] f32 CRF scores."""
+    tx = config.tx.tx
+    if signal.ndim == 2:
+        signal = signal[..., None]
+    x = conv_stack(params, signal, config)  # [N, T', d_model]
+    dtype = x.dtype
+
+    t_len = x.shape[1]
+    cos, sin = rope_tables(t_len, tx.d_model // tx.nhead, tx.theta)
+    for p in params["layers"]:
+        x = tx_encoder_layer(
+            p, x, cos, sin, tx.nhead, tx.deepnorm_alpha, tx.attn_window
+        )
+
+    # LinearUpsample: [N, T', C] -> [N, scale*T', C] (nn/LinearUpsample.cpp)
+    ups = params["upsample"]
+    n, t, c = x.shape
+    scale_factor = config.tx.upsample.scale_factor
+    x = (
+        jnp.einsum(
+            "ntc,uc->ntu", x, ups["w"].astype(dtype), preferred_element_type=jnp.float32
+        )
+        + ups["b"].astype(jnp.float32)
+    ).astype(dtype)
+    x = x.reshape(n, scale_factor * t, c)
+
+    # LinearScaledCRF: weights scaled by crf.scale (TxModules.cpp:330-339)
+    w = (params["crf"]["w"].astype(jnp.float32) * config.tx.crf.scale).astype(dtype)
+    scores = jnp.einsum("ntc,oc->nto", x, w, preferred_element_type=jnp.float32)
+    return scores
+
+
+def make_tx_forward_fn(config: BasecallModelConfig, compute_dtype=jnp.float32):
+    def forward(params, signal):
+        return tx_forward(params, signal.astype(compute_dtype), config)
+
+    return forward
