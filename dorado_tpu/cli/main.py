@@ -14,8 +14,16 @@ from pathlib import Path
 
 def _add_basecaller(sub: argparse._SubParsersAction) -> None:
     p = sub.add_parser("basecaller", help="Run simplex basecalling")
-    p.add_argument("model", help="Path to a model directory")
+    p.add_argument(
+        "model",
+        help="Model: directory path, model name, or {fast,hac,sup}[@version]",
+    )
     p.add_argument("data", help="POD5 file or directory")
+    p.add_argument(
+        "--models-directory",
+        default=".",
+        help="Directory to search for / download models",
+    )
     p.add_argument("-r", "--recursive", action="store_true")
     p.add_argument("-o", "--output", default="-", help="Output path (- = stdout)")
     p.add_argument(
@@ -43,7 +51,10 @@ def _run_basecaller(args: argparse.Namespace) -> int:
     from dorado_tpu.models.load import load_model
     from dorado_tpu.pipeline.basecaller import BasecallerPipeline
 
-    config, params = load_model(args.model)
+    model_dir = _resolve_model_arg(args)
+    if model_dir is None:
+        return 1
+    config, params = load_model(model_dir)
     dtype = {"float32": jnp.float32, "bfloat16": jnp.bfloat16, None: None}[args.dtype]
     pipeline = BasecallerPipeline(
         config,
@@ -90,6 +101,64 @@ def _run_basecaller(args: argparse.Namespace) -> int:
         pct = 100.0 * (1.0 - stats.samples_processed / stats.samples_incl_padding)
         print(f"> Padding percentage: {pct:.1f}%", file=sys.stderr)
     return 0
+
+
+def _resolve_model_arg(args: argparse.Namespace):
+    """Model argument -> on-disk model directory.
+
+    Handles the reference's three styles (model_resolver/ModelResolver.h):
+    a path, an exact model name, or the {fast,hac,sup}[@version] complex
+    resolved against the input data's chemistry.
+    """
+    from pathlib import Path as P
+
+    from dorado_tpu.models.downloader import download_model_info
+    from dorado_tpu.models.registry import (
+        get_chemistry,
+        parse_model_complex,
+        resolve_simplex_model,
+    )
+
+    mc = parse_model_complex(args.model)
+    if mc.is_path:
+        if not P(args.model).is_dir():
+            print(f"> Model directory not found: {args.model}", file=sys.stderr)
+            return None
+        return P(args.model)
+
+    if mc.style == "named":
+        info = mc.named_simplex
+    else:
+        from dorado_tpu.io.pod5 import Pod5File, find_pod5_files
+
+        files = find_pod5_files(args.data, recursive=getattr(args, "recursive", False))
+        if not files:
+            print(f"> No POD5 files found under {args.data}", file=sys.stderr)
+            return None
+        ri = Pod5File(files[0]).run_infos[0]
+        chemistry = get_chemistry(
+            ri.flow_cell_product_code, ri.sequencing_kit, ri.sample_rate
+        )
+        if chemistry is None:
+            print(
+                f"> Could not determine chemistry from {files[0].name} "
+                f"(flowcell={ri.flow_cell_product_code!r}, "
+                f"kit={ri.sequencing_kit!r}, rate={ri.sample_rate})",
+                file=sys.stderr,
+            )
+            return None
+        info = resolve_simplex_model(chemistry, mc.simplex_variant, mc.simplex_version)
+        print(f"> Auto-selected model: {info.name}", file=sys.stderr)
+
+    models_dir = P(getattr(args, "models_directory", "."))
+    local = models_dir / info.name
+    if local.is_dir():
+        return local
+    try:
+        return download_model_info(info, models_dir)
+    except RuntimeError as e:
+        print(f"> {e}", file=sys.stderr)
+        return None
 
 
 def _add_download(sub: argparse._SubParsersAction) -> None:
