@@ -41,6 +41,19 @@ def _add_basecaller(sub: argparse._SubParsersAction) -> None:
         help="beam = reference-parity beam search; viterbi = fast exact path",
     )
     p.add_argument("--dtype", choices=["float32", "bfloat16"], default=None)
+    p.add_argument(
+        "--modified-bases",
+        nargs="+",
+        default=None,
+        metavar="MOD",
+        help="Modified base variants to call (e.g. 5mCG_5hmCG)",
+    )
+    p.add_argument(
+        "--modified-bases-models",
+        default=None,
+        help="Comma-separated paths to modified-base model directories",
+    )
+    p.add_argument("--modified-bases-threshold", type=float, default=0.05)
     p.set_defaults(func=_run_basecaller)
 
 
@@ -56,6 +69,28 @@ def _run_basecaller(args: argparse.Namespace) -> int:
         return 1
     config, params = load_model(model_dir)
     dtype = {"float32": jnp.float32, "bfloat16": jnp.bfloat16, None: None}[args.dtype]
+
+    modbase_caller = None
+    if args.modified_bases_models:
+        from dorado_tpu.modbase.caller import ModBaseCaller
+        from dorado_tpu.modbase.config import load_modbase_config
+
+        mod_cfgs = [
+            load_modbase_config(p) for p in args.modified_bases_models.split(",")
+        ]
+        modbase_caller = ModBaseCaller(
+            mod_cfgs,
+            canonical_stride=config.stride,
+            is_rna=config.is_rna_model,
+        )
+    elif args.modified_bases:
+        print(
+            "> --modified-bases requires downloadable models; use "
+            "--modified-bases-models with local model directories instead",
+            file=sys.stderr,
+        )
+        return 1
+
     pipeline = BasecallerPipeline(
         config,
         params,
@@ -65,6 +100,8 @@ def _run_basecaller(args: argparse.Namespace) -> int:
         decoder=args.decoder,
         emit_moves=args.emit_moves,
         compute_dtype=dtype,
+        modbase_caller=modbase_caller,
+        modbase_threshold=args.modified_bases_threshold,
     )
 
     from dorado_tpu.io.pod5 import find_pod5_files

@@ -77,6 +77,8 @@ class BasecallerPipeline:
         emit_moves: bool = False,
         compute_dtype=None,
         use_pallas: bool = False,
+        modbase_caller=None,
+        modbase_threshold: float = 0.05,
     ):
         import jax.numpy as jnp
 
@@ -95,6 +97,8 @@ class BasecallerPipeline:
         self.overlap = int(overlap or config.basecaller.overlap)
         self.overlap -= self.overlap % config.stride
         self.emit_moves = emit_moves
+        self.modbase_caller = modbase_caller
+        self.modbase_threshold = modbase_threshold
         self.scaler = Scaler(config.signal_norm_params, is_rna=config.is_rna_model)
         self.stats = PipelineStats()
 
@@ -241,7 +245,28 @@ class BasecallerPipeline:
 
         self.stats.reads_called += 1
         self.stats.bases_called += len(seq)
-        return self._make_record(wr, seq, qstring, moves)
+        rec = self._make_record(wr, seq, qstring, moves)
+        if self.modbase_caller is not None and len(seq):
+            self._add_modbase_tags(rec, seq, moves, wr.scaled)
+        return rec
+
+    def _add_modbase_tags(self, rec, seq, moves, scaled_signal) -> None:
+        from dorado_tpu.modbase.tags import (
+            generate_modbase_tags,
+            modbase_threshold_uint8,
+        )
+
+        result = self.modbase_caller.call_read(seq, np.asarray(moves), scaled_signal)
+        mm, ml, mn = generate_modbase_tags(
+            seq,
+            result.base_mod_probs,
+            result.info,
+            result.motif_hits,
+            modbase_threshold_uint8(self.modbase_threshold),
+        )
+        rec.tags.append(SamTag("MN", "i", mn))
+        rec.tags.append(SamTag("MM", "Z", mm))
+        rec.tags.append(SamTag("ML", "B", ml, subtype="C"))
 
     def _mean_qscore(self, seq: str, qstring: str) -> float:
         if self.config.is_rna_model:
