@@ -168,17 +168,23 @@ class BasecallRunner:
         return self.chunk_size // self.config.stride
 
     def make_input_buffer(self) -> np.ndarray:
+        if self.config.num_features > 1:
+            return np.zeros(
+                (self.batch_size, self.chunk_size, self.config.num_features),
+                dtype=np.float32,
+            )
         return np.zeros((self.batch_size, self.chunk_size), dtype=np.float32)
 
     def accept_chunk(self, buffer: np.ndarray, idx: int, signal: np.ndarray) -> None:
         """Copy one (possibly short) chunk into the batch, repeat-padding to
-        chunk_size (BasecallerNode.cpp:431-440)."""
+        chunk_size (BasecallerNode.cpp:431-440). ``signal`` is [T] or [T, F]."""
         n = len(signal)
         if n == self.chunk_size:
             buffer[idx] = signal
         else:
             reps = -(-self.chunk_size // n)
-            buffer[idx] = np.tile(signal, reps)[: self.chunk_size]
+            tiled = np.tile(signal, (reps, 1) if signal.ndim == 2 else reps)
+            buffer[idx] = tiled[: self.chunk_size]
 
     def call_chunks(self, buffer: np.ndarray, num_chunks: int) -> list[DecodedChunk]:
         """Run the device program and materialise per-chunk calls."""

@@ -198,6 +198,65 @@ def _resolve_model_arg(args: argparse.Namespace):
         return None
 
 
+def _add_duplex(sub: argparse._SubParsersAction) -> None:
+    p = sub.add_parser("duplex", help="Run duplex basecalling")
+    p.add_argument("model", help="Simplex model directory")
+    p.add_argument("data", help="POD5 file or directory")
+    p.add_argument("--stereo-model", required=True, help="Stereo model directory")
+    p.add_argument("-r", "--recursive", action="store_true")
+    p.add_argument("-o", "--output", default="-")
+    p.add_argument("--emit-sam", action="store_true")
+    p.add_argument("-c", "--chunksize", type=int, default=None)
+    p.add_argument("-b", "--batchsize", type=int, default=None)
+    p.add_argument("--decoder", choices=["beam", "viterbi"], default="beam")
+    p.set_defaults(func=_run_duplex)
+
+
+def _run_duplex(args: argparse.Namespace) -> int:
+    from dorado_tpu.duplex.pipeline import DuplexPipeline
+    from dorado_tpu.io.pod5 import find_pod5_files
+    from dorado_tpu.io.sam import BamWriter, SamWriter
+    from dorado_tpu.models.load import load_model
+    from dorado_tpu.pipeline.basecaller import BasecallerPipeline
+
+    config, params = load_model(args.model)
+    stereo_config, stereo_params = load_model(args.stereo_model)
+    pipeline = DuplexPipeline(
+        config,
+        params,
+        stereo_config,
+        stereo_params,
+        chunk_size=args.chunksize,
+        batch_size=args.batchsize,
+        decoder=args.decoder,
+    )
+
+    files = find_pod5_files(args.data, recursive=args.recursive)
+    if not files:
+        print(f"> No POD5 files found under {args.data}", file=sys.stderr)
+        return 1
+    header = pipeline.simplex.build_header(files, cli_line=" ".join(sys.argv))
+
+    out_is_stdout = args.output == "-"
+    if args.emit_sam:
+        fh = sys.stdout if out_is_stdout else open(args.output, "w")
+        writer = SamWriter(fh, header)
+    else:
+        fh = sys.stdout.buffer if out_is_stdout else open(args.output, "wb")
+        writer = BamWriter(fh, header)
+
+    stats = pipeline.run(args.data, writer, recursive=args.recursive)
+    writer.close()
+    if not out_is_stdout:
+        fh.close()
+    print(f"> Simplex reads basecalled: {stats.simplex_reads}", file=sys.stderr)
+    print(f"> Duplex reads basecalled: {stats.duplex_reads}", file=sys.stderr)
+    if stats.simplex_reads:
+        rate = 200.0 * stats.duplex_reads / stats.simplex_reads
+        print(f"> Duplex rate: {rate:.2f}%", file=sys.stderr)
+    return 0
+
+
 def _add_download(sub: argparse._SubParsersAction) -> None:
     p = sub.add_parser("download", help="Download basecalling models")
     p.add_argument("--model", default="all")
@@ -223,6 +282,7 @@ def main(argv: list[str] | None = None) -> int:
     parser = argparse.ArgumentParser(prog="dorado_tpu")
     sub = parser.add_subparsers(dest="command", required=True)
     _add_basecaller(sub)
+    _add_duplex(sub)
     _add_download(sub)
     args = parser.parse_args(argv)
     return args.func(args)

@@ -1,0 +1,137 @@
+"""Native (C++) runtime components: compiled on first use, loaded via ctypes.
+
+The alignment library replaces the reference's edlib dependency
+(dorado/3rdparty/edlib) for stereo duplex encoding, barcode/adapter scoring
+and read splitting.
+"""
+
+from __future__ import annotations
+
+import ctypes
+import subprocess
+import sysconfig
+from dataclasses import dataclass
+from pathlib import Path
+
+import numpy as np
+
+_SRC_DIR = Path(__file__).parent
+_LIB_PATH = _SRC_DIR / "libdorado_native.so"
+
+EDOP_MATCH = 0
+EDOP_INSERT = 1  # query-consumed-only (insertion to target)
+EDOP_DELETE = 2  # target-consumed-only (deletion from target)
+EDOP_MISMATCH = 3
+
+MODE_NW = 0  # global
+MODE_HW = 1  # infix (free gaps at target start+end)
+MODE_SHW = 2  # prefix (free gap at target end)
+
+
+def _build() -> None:
+    sources = [str(_SRC_DIR / "align.cpp")]
+    cmd = [
+        "g++",
+        "-O3",
+        "-march=native",
+        "-std=c++17",
+        "-shared",
+        "-fPIC",
+        "-o",
+        str(_LIB_PATH),
+        *sources,
+    ]
+    subprocess.run(cmd, check=True, capture_output=True)
+
+
+_lib = None
+
+
+def _get_lib() -> ctypes.CDLL:
+    global _lib
+    if _lib is None:
+        src_mtime = max(p.stat().st_mtime for p in _SRC_DIR.glob("*.cpp"))
+        if not _LIB_PATH.exists() or _LIB_PATH.stat().st_mtime < src_mtime:
+            _build()
+        _lib = ctypes.CDLL(str(_LIB_PATH))
+        _lib.dt_align.restype = ctypes.c_int
+        _lib.dt_align.argtypes = [
+            ctypes.c_char_p,
+            ctypes.c_int,
+            ctypes.c_char_p,
+            ctypes.c_int,
+            ctypes.c_int,
+            ctypes.c_int,
+            ctypes.POINTER(ctypes.c_int32),
+            ctypes.POINTER(ctypes.c_int32),
+            ctypes.POINTER(ctypes.c_int32),
+            ctypes.POINTER(ctypes.c_uint8),
+            ctypes.c_int,
+            ctypes.POINTER(ctypes.c_int32),
+            ctypes.POINTER(ctypes.c_int32),
+        ]
+    return _lib
+
+
+@dataclass
+class AlignResult:
+    distance: int
+    t_start: int
+    t_end: int  # exclusive
+    ops: np.ndarray  # uint8 edlib-style op codes, query-start -> query-end
+
+
+def align(
+    query: str | bytes,
+    target: str | bytes,
+    mode: int = MODE_NW,
+    band: int | None = None,
+) -> AlignResult:
+    """Unit-cost edit-distance alignment with traceback.
+
+    The band automatically doubles until the result is provably unclipped
+    (banded DP with edge detection), so results match full DP.
+    """
+    q = query.encode() if isinstance(query, str) else bytes(query)
+    t = target.encode() if isinstance(target, str) else bytes(target)
+    lib = _get_lib()
+
+    cap = len(q) + len(t) + 2
+    ops_buf = (ctypes.c_uint8 * cap)()
+    dist = ctypes.c_int32()
+    t_start = ctypes.c_int32()
+    t_end = ctypes.c_int32()
+    ops_len = ctypes.c_int32()
+    band_hit = ctypes.c_int32()
+
+    b = band or max(32, abs(len(q) - len(t)) + 32)
+    max_band = max(len(q), len(t), 1)
+    while True:
+        rc = lib.dt_align(
+            q,
+            len(q),
+            t,
+            len(t),
+            mode,
+            b,
+            ctypes.byref(dist),
+            ctypes.byref(t_start),
+            ctypes.byref(t_end),
+            ops_buf,
+            cap,
+            ctypes.byref(ops_len),
+            ctypes.byref(band_hit),
+        )
+        if rc != 0:
+            raise RuntimeError(f"dt_align failed with code {rc}")
+        if (band_hit.value == 0 and dist.value >= 0) or b >= max_band:
+            break
+        b = min(max_band, b * 4)
+
+    ops = np.frombuffer(bytes(ops_buf[: ops_len.value]), dtype=np.uint8).copy()
+    return AlignResult(
+        distance=int(dist.value),
+        t_start=int(t_start.value),
+        t_end=int(t_end.value),
+        ops=ops,
+    )
