@@ -278,12 +278,29 @@ def _run_download(args: argparse.Namespace) -> int:
     return download_model(args.model, Path(args.directory))
 
 
+def _add_summary(sub: argparse._SubParsersAction) -> None:
+    p = sub.add_parser("summary", help="Create sequencing summary from a BAM/SAM")
+    p.add_argument("reads", help="Basecalled BAM or SAM file")
+    p.set_defaults(func=_run_summary)
+
+
+def _run_summary(args: argparse.Namespace) -> int:
+    from dorado_tpu.io.bam_reader import read_records
+    from dorado_tpu.io.summary import write_summary
+
+    header, records = read_records(args.reads)
+    n = write_summary(records, sys.stdout, header_text=header)
+    print(f"> Summarised {n} reads", file=sys.stderr)
+    return 0
+
+
 def main(argv: list[str] | None = None) -> int:
     parser = argparse.ArgumentParser(prog="dorado_tpu")
     sub = parser.add_subparsers(dest="command", required=True)
     _add_basecaller(sub)
     _add_duplex(sub)
     _add_download(sub)
+    _add_summary(sub)
     args = parser.parse_args(argv)
     return args.func(args)
 

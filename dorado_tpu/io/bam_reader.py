@@ -1,0 +1,234 @@
+"""BAM/SAM reading: BGZF inflation, record decoding, aux-tag parsing.
+
+From-scratch counterpart of the reference's htslib usage
+(dorado/read_pipeline/base/HtsReader.cpp): enough of the BAM spec to read
+back our own (and dorado's) unaligned BAM output for summary, resume and
+demux flows.
+"""
+
+from __future__ import annotations
+
+import struct
+import zlib
+from dataclasses import dataclass, field
+from pathlib import Path
+from typing import Iterator
+
+import numpy as np
+
+from dorado_tpu.io.sam import SamRecord, SamTag
+
+_SEQ_LUT = "=ACMGRSVTWYHKDBN"
+_CIGAR_OPS = "MIDNSHP=X"
+
+
+def bgzf_decompress(data: bytes) -> bytes:
+    """Inflate a BGZF file (sequence of gzip members with BC extra field)."""
+    out = bytearray()
+    pos = 0
+    n = len(data)
+    while pos < n:
+        if data[pos : pos + 2] != b"\x1f\x8b":
+            raise ValueError("bad BGZF magic")
+        xlen = struct.unpack_from("<H", data, pos + 10)[0]
+        extra = data[pos + 12 : pos + 12 + xlen]
+        bsize = None
+        epos = 0
+        while epos < len(extra):
+            si1, si2 = extra[epos], extra[epos + 1]
+            slen = struct.unpack_from("<H", extra, epos + 2)[0]
+            if si1 == 66 and si2 == 67:
+                bsize = struct.unpack_from("<H", extra, epos + 4)[0] + 1
+            epos += 4 + slen
+        if bsize is None:
+            raise ValueError("missing BGZF BC field")
+        cdata = data[pos + 12 + xlen : pos + bsize - 8]
+        if cdata:
+            out += zlib.decompress(cdata, -15)
+        pos += bsize
+    return bytes(out)
+
+
+def _parse_aux(aux: bytes) -> list[SamTag]:
+    tags = []
+    p = 0
+    n = len(aux)
+    while p < n:
+        tag = aux[p : p + 2].decode()
+        typ = chr(aux[p + 2])
+        p += 3
+        if typ == "Z" or typ == "H":
+            end = aux.index(0, p)
+            tags.append(SamTag(tag, "Z", aux[p:end].decode()))
+            p = end + 1
+        elif typ == "A":
+            tags.append(SamTag(tag, "A", chr(aux[p])))
+            p += 1
+        elif typ == "f":
+            tags.append(SamTag(tag, "f", struct.unpack_from("<f", aux, p)[0]))
+            p += 4
+        elif typ in "cCsSiI":
+            fmt = {"c": "<b", "C": "<B", "s": "<h", "S": "<H", "i": "<i", "I": "<I"}[typ]
+            size = struct.calcsize(fmt)
+            tags.append(SamTag(tag, typ, struct.unpack_from(fmt, aux, p)[0]))
+            p += size
+        elif typ == "B":
+            sub = chr(aux[p])
+            count = struct.unpack_from("<I", aux, p + 1)[0]
+            fmt = {"c": "b", "C": "B", "s": "h", "S": "H", "i": "i", "I": "I", "f": "f"}[sub]
+            size = struct.calcsize(fmt)
+            vals = np.frombuffer(
+                aux[p + 5 : p + 5 + count * size], dtype=np.dtype(fmt).newbyteorder("<")
+            ).copy()
+            tags.append(SamTag(tag, "B", vals, subtype=sub))
+            p += 5 + count * size
+        else:
+            raise ValueError(f"unsupported aux type {typ!r}")
+    return tags
+
+
+@dataclass
+class BamFile:
+    header_text: str
+    references: list[tuple[str, int]]
+    records: list[SamRecord] = field(default_factory=list)
+
+
+def decode_bam_record(block: bytes) -> SamRecord:
+    (
+        refid,
+        pos,
+        l_read_name,
+        mapq,
+        _bin,
+        n_cigar,
+        flag,
+        l_seq,
+        next_refid,
+        next_pos,
+        tlen,
+    ) = struct.unpack_from("<iiBBHHHiiii", block, 0)
+    p = 32
+    qname = block[p : p + l_read_name - 1].decode()
+    p += l_read_name
+    cigar_ops = struct.unpack_from(f"<{n_cigar}I", block, p)
+    p += 4 * n_cigar
+    cigar = (
+        "".join(f"{op >> 4}{_CIGAR_OPS[op & 0xF]}" for op in cigar_ops)
+        if n_cigar
+        else "*"
+    )
+    nib = block[p : p + (l_seq + 1) // 2]
+    p += (l_seq + 1) // 2
+    seq_chars = []
+    for i in range(l_seq):
+        b = nib[i // 2]
+        seq_chars.append(_SEQ_LUT[(b >> 4) if i % 2 == 0 else (b & 0xF)])
+    seq = "".join(seq_chars) if l_seq else "*"
+    qual_raw = block[p : p + l_seq]
+    p += l_seq
+    qual = (
+        "".join(chr(min(c, 93) + 33) for c in qual_raw)
+        if l_seq and (not qual_raw or qual_raw[0] != 0xFF)
+        else "*"
+    )
+    tags = _parse_aux(block[p:])
+    return SamRecord(
+        qname=qname,
+        flag=flag,
+        rname="*" if refid < 0 else str(refid),
+        pos=pos + 1,
+        mapq=mapq,
+        cigar=cigar,
+        rnext="*",
+        pnext=next_pos + 1,
+        tlen=tlen,
+        seq=seq,
+        qual=qual,
+        tags=tags,
+    )
+
+
+def read_bam(path: Path | str) -> BamFile:
+    raw = bgzf_decompress(Path(path).read_bytes())
+    if raw[:4] != b"BAM\x01":
+        raise ValueError("not a BAM file")
+    l_text = struct.unpack_from("<i", raw, 4)[0]
+    text = raw[8 : 8 + l_text].decode()
+    p = 8 + l_text
+    n_ref = struct.unpack_from("<i", raw, p)[0]
+    p += 4
+    refs = []
+    for _ in range(n_ref):
+        l_name = struct.unpack_from("<i", raw, p)[0]
+        name = raw[p + 4 : p + 4 + l_name - 1].decode()
+        l_ref = struct.unpack_from("<i", raw, p + 4 + l_name)[0]
+        refs.append((name, l_ref))
+        p += 8 + l_name
+    bam = BamFile(header_text=text, references=refs)
+    # resolve reference names in records
+    while p < len(raw):
+        block_size = struct.unpack_from("<i", raw, p)[0]
+        rec = decode_bam_record(raw[p + 4 : p + 4 + block_size])
+        if rec.rname != "*":
+            idx = int(rec.rname)
+            rec.rname = refs[idx][0] if 0 <= idx < len(refs) else "*"
+        bam.records.append(rec)
+        p += 4 + block_size
+    return bam
+
+
+def iter_sam(path: Path | str) -> Iterator[SamRecord]:
+    """Stream records from a SAM text file."""
+    with open(path) as fh:
+        for line in fh:
+            if line.startswith("@") or not line.strip():
+                continue
+            f = line.rstrip("\n").split("\t")
+            tags = []
+            for tf in f[11:]:
+                tag, typ, val = tf.split(":", 2)
+                if typ == "i":
+                    tags.append(SamTag(tag, "i", int(val)))
+                elif typ == "f":
+                    tags.append(SamTag(tag, "f", float(val)))
+                elif typ == "B":
+                    sub, *vals = val.split(",")
+                    arr = np.asarray(
+                        [float(v) if sub == "f" else int(v) for v in vals]
+                    )
+                    tags.append(SamTag(tag, "B", arr, subtype=sub))
+                else:
+                    tags.append(SamTag(tag, typ, val))
+            yield SamRecord(
+                qname=f[0],
+                flag=int(f[1]),
+                rname=f[2],
+                pos=int(f[3]),
+                mapq=int(f[4]),
+                cigar=f[5],
+                rnext=f[6],
+                pnext=int(f[7]),
+                tlen=int(f[8]),
+                seq=f[9],
+                qual=f[10],
+                tags=tags,
+            )
+
+
+def read_records(path: Path | str) -> tuple[str, list[SamRecord]]:
+    """(header text, records) for a BAM or SAM path."""
+    path = Path(path)
+    with open(path, "rb") as fh:
+        magic = fh.read(2)
+    if magic == b"\x1f\x8b":
+        bam = read_bam(path)
+        return bam.header_text, bam.records
+    header_lines = []
+    with open(path) as fh:
+        for line in fh:
+            if line.startswith("@"):
+                header_lines.append(line)
+            else:
+                break
+    return "".join(header_lines), list(iter_sam(path))

@@ -1,0 +1,120 @@
+"""sequencing_summary.txt generation
+(parity: dorado/hts_writer/SummaryFileWriter.cpp and dorado/cli/cli_lib/
+summary.cpp — the ``dorado summary`` subcommand over a basecalled BAM/SAM).
+"""
+
+from __future__ import annotations
+
+from typing import TextIO
+
+from dorado_tpu.io.sam import SamRecord
+
+GENERAL_FIELDS = [
+    "input_filename",
+    "batch_id",
+    "parent_read_id",
+    "read_id",
+    "run_id",
+    "channel",
+    "mux",
+    "minknow_events",
+    "start_time",
+    "duration",
+]
+BASECALLING_FIELDS = [
+    "passes_filtering",
+    "template_start",
+    "num_events_template",
+    "template_duration",
+    "sequence_length_template",
+    "mean_qscore_template",
+]
+EXPERIMENT_FIELDS = ["pore_type", "experiment_id", "sample_id", "end_reason"]
+
+
+def _tag(rec: SamRecord, name: str, default):
+    for t in rec.tags:
+        if t.tag == name:
+            return t.value
+    return default
+
+
+def _parse_rg_run_ids(header_text: str) -> dict[str, str]:
+    """RG id -> runid (from the DS field of @RG header lines)."""
+    out = {}
+    for line in header_text.splitlines():
+        if not line.startswith("@RG"):
+            continue
+        rg_id = None
+        run_id = ""
+        for fieldv in line.split("\t")[1:]:
+            key, _, value = fieldv.partition(":")
+            if key == "ID":
+                rg_id = value
+            elif key == "DS":
+                for part in value.split():
+                    if part.startswith("runid="):
+                        run_id = part[len("runid=") :]
+        if rg_id:
+            out[rg_id] = run_id
+    return out
+
+
+def write_summary(
+    records: list[SamRecord],
+    out: TextIO,
+    header_text: str = "",
+    model_stride: int = 0,
+) -> int:
+    """Write the summary TSV; returns the number of rows."""
+    rg_runs = _parse_rg_run_ids(header_text)
+    columns = GENERAL_FIELDS + BASECALLING_FIELDS + EXPERIMENT_FIELDS
+    out.write("\t".join(columns) + "\n")
+    rows = 0
+    for rec in records:
+        if rec.flag & 0x900:  # secondary/supplementary
+            continue
+        duration = float(_tag(rec, "du", 0.0))
+        ns = int(_tag(rec, "ns", 0))
+        ts = int(_tag(rec, "ts", 0))
+        sample_rate = ns / duration if duration > 0 else 0.0
+        rg = _tag(rec, "RG", "")
+        run_id = rg_runs.get(rg, rg.rsplit("_", 1)[0] if rg else "unknown")
+
+        start_time = 0.0  # without read attrs, relative start is unknown
+        template_start = start_time + (ts / sample_rate if sample_rate else 0.0)
+        template_samples = ns - ts
+        template_duration = template_samples / sample_rate if sample_rate else 0.0
+        stride = model_stride
+        if not stride:
+            mv = _tag(rec, "mv", None)
+            if mv is not None and len(mv):
+                stride = int(mv[0])
+        events = template_samples // stride if stride else 0
+        seq_len = len(rec.seq) if rec.seq != "*" else 0
+
+        vals = [
+            _tag(rec, "fn", "unknown"),
+            "0",
+            _tag(rec, "pi", rec.qname),
+            rec.qname,
+            run_id,
+            int(_tag(rec, "ch", 0)),
+            int(_tag(rec, "mx", 0)),
+            int(_tag(rec, "me", 0)),
+            f"{start_time:.6f}",
+            f"{duration:.6f}",
+            "TRUE",
+            f"{template_start:.6f}",
+            events,
+            f"{template_duration:.6f}",
+            seq_len,
+            f"{float(_tag(rec, 'qs', 0.0)):.6f}",
+            _tag(rec, "po", "not_set"),
+            "unknown",
+            "unknown",
+            _tag(rec, "er", "unknown"),
+        ]
+        out.write("\t".join(str(v) for v in vals) + "\n")
+        rows += 1
+    return rows
