@@ -54,6 +54,8 @@ def _add_basecaller(sub: argparse._SubParsersAction) -> None:
         help="Comma-separated paths to modified-base model directories",
     )
     p.add_argument("--modified-bases-threshold", type=float, default=0.05)
+    p.add_argument("--kit-name", default=None, help="Barcoding kit (e.g. SQK-NBD114-24)")
+    p.add_argument("--barcode-both-ends", action="store_true")
     p.set_defaults(func=_run_basecaller)
 
 
@@ -91,6 +93,12 @@ def _run_basecaller(args: argparse.Namespace) -> int:
         )
         return 1
 
+    barcode_classifier = None
+    if args.kit_name:
+        from dorado_tpu.demux import BarcodeClassifier
+
+        barcode_classifier = BarcodeClassifier(args.kit_name)
+
     pipeline = BasecallerPipeline(
         config,
         params,
@@ -102,6 +110,8 @@ def _run_basecaller(args: argparse.Namespace) -> int:
         compute_dtype=dtype,
         modbase_caller=modbase_caller,
         modbase_threshold=args.modified_bases_threshold,
+        barcode_classifier=barcode_classifier,
+        barcode_both_ends=args.barcode_both_ends,
     )
 
     from dorado_tpu.io.pod5 import find_pod5_files
@@ -278,6 +288,58 @@ def _run_download(args: argparse.Namespace) -> int:
     return download_model(args.model, Path(args.directory))
 
 
+def _add_demux(sub: argparse._SubParsersAction) -> None:
+    p = sub.add_parser("demux", help="Demultiplex a basecalled BAM/SAM by barcode")
+    p.add_argument("reads", help="Basecalled BAM or SAM file")
+    p.add_argument("--kit-name", required=True)
+    p.add_argument("--output-dir", required=True)
+    p.add_argument("--emit-summary", action="store_true")
+    p.add_argument("--barcode-both-ends", action="store_true")
+    p.set_defaults(func=_run_demux)
+
+
+def _run_demux(args: argparse.Namespace) -> int:
+    from collections import defaultdict
+
+    from dorado_tpu.demux import BarcodeClassifier
+    from dorado_tpu.demux.barcoder import UNCLASSIFIED, normalize_barcode_name
+    from dorado_tpu.io.bam_reader import read_records
+    from dorado_tpu.io.sam import BamWriter, SamHeader, SamTag
+
+    header_text, records = read_records(args.reads)
+    classifier = BarcodeClassifier(args.kit_name)
+    kit_display = classifier.kit_info["name"]
+
+    by_barcode = defaultdict(list)
+    for rec in records:
+        result = classifier.classify(
+            rec.seq if rec.seq != "*" else "",
+            barcode_both_ends=args.barcode_both_ends,
+        )
+        if result.barcode_name == UNCLASSIFIED:
+            name = UNCLASSIFIED
+        else:
+            name = f"{kit_display}_{normalize_barcode_name(result.barcode_name)}"
+        rec.tags = [t for t in rec.tags if t.tag != "BC"] + [SamTag("BC", "Z", name)]
+        by_barcode[name].append(rec)
+
+    out_dir = Path(args.output_dir)
+    out_dir.mkdir(parents=True, exist_ok=True)
+    header = SamHeader()
+    for line in header_text.splitlines():
+        if line.startswith("@CO"):
+            header.comments.append(line.split("\t", 1)[-1])
+    for name, recs in sorted(by_barcode.items()):
+        path = out_dir / f"{name}.bam"
+        with open(path, "wb") as fh:
+            w = BamWriter(fh, header)
+            for rec in recs:
+                w.write(rec)
+            w.close()
+        print(f"> {name}: {len(recs)} reads -> {path}", file=sys.stderr)
+    return 0
+
+
 def _add_summary(sub: argparse._SubParsersAction) -> None:
     p = sub.add_parser("summary", help="Create sequencing summary from a BAM/SAM")
     p.add_argument("reads", help="Basecalled BAM or SAM file")
@@ -301,6 +363,7 @@ def main(argv: list[str] | None = None) -> int:
     _add_duplex(sub)
     _add_download(sub)
     _add_summary(sub)
+    _add_demux(sub)
     args = parser.parse_args(argv)
     return args.func(args)
 

@@ -69,8 +69,32 @@ def _get_lib() -> ctypes.CDLL:
             ctypes.c_int,
             ctypes.POINTER(ctypes.c_int32),
             ctypes.POINTER(ctypes.c_int32),
+            ctypes.c_char_p,
         ]
     return _lib
+
+
+def make_equality_table(pairs: list[tuple[str, str]]) -> bytes:
+    """256x256 symmetric extra-equality table for wildcard matching
+    (edlib additionalEqualities semantics)."""
+    table = bytearray(256 * 256)
+    for a, b in pairs:
+        table[ord(a) * 256 + ord(b)] = 1
+        table[ord(b) * 256 + ord(a)] = 1
+    return bytes(table)
+
+
+# edlib config used by the barcode classifier (BarcodeClassifier.cpp:28-38):
+# N matches any base (the barcode mask), M matches A/C (16S wobble base)
+BARCODE_EQUALITIES = [
+    ("N", "A"),
+    ("N", "T"),
+    ("N", "C"),
+    ("N", "G"),
+    ("N", "U"),
+    ("M", "A"),
+    ("M", "C"),
+]
 
 
 @dataclass
@@ -86,6 +110,7 @@ def align(
     target: str | bytes,
     mode: int = MODE_NW,
     band: int | None = None,
+    equalities: bytes | None = None,
 ) -> AlignResult:
     """Unit-cost edit-distance alignment with traceback.
 
@@ -121,6 +146,7 @@ def align(
             cap,
             ctypes.byref(ops_len),
             ctypes.byref(band_hit),
+            equalities,
         )
         if rc != 0:
             raise RuntimeError(f"dt_align failed with code {rc}")

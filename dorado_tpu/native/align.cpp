@@ -46,7 +46,8 @@ int dt_align(const uint8_t* query,
              uint8_t* ops,
              int ops_cap,
              int32_t* ops_len,
-             int32_t* band_hit) {
+             int32_t* band_hit,
+             const uint8_t* eq_table) {  // optional 256x256 extra-equality table
     if (qlen < 0 || tlen < 0 || mode < 0 || mode > 2) {
         return -2;
     }
@@ -116,7 +117,9 @@ int dt_align(const uint8_t* query,
                 // diag: (i-1, j-1)
                 const int wd = (j - 1) - (cp - band);
                 if (wd >= 0 && wd < width && prev[wd] < kInf) {
-                    const int32_t v = prev[wd] + (query[i - 1] == target[j - 1] ? 0 : 1);
+                    const uint8_t qc = query[i - 1], tc = target[j - 1];
+                    const bool eq = qc == tc || (eq_table && eq_table[qc * 256 + tc]);
+                    const int32_t v = prev[wd] + (eq ? 0 : 1);
                     if (v < best) {
                         best = v;
                         mv = kDiag;
@@ -181,7 +184,9 @@ int dt_align(const uint8_t* query,
             break;  // reached a free start
         }
         if (mv == kDiag) {
-            rev_ops.push_back(query[i - 1] == target[j - 1] ? 0 : 3);
+            const uint8_t qc = query[i - 1], tc = target[j - 1];
+            const bool eq = qc == tc || (eq_table && eq_table[qc * 256 + tc]);
+            rev_ops.push_back(eq ? 0 : 3);
             --i;
             --j;
         } else if (mv == kUp) {

@@ -79,6 +79,8 @@ class BasecallerPipeline:
         use_pallas: bool = False,
         modbase_caller=None,
         modbase_threshold: float = 0.05,
+        barcode_classifier=None,
+        barcode_both_ends: bool = False,
     ):
         import jax.numpy as jnp
 
@@ -99,6 +101,8 @@ class BasecallerPipeline:
         self.emit_moves = emit_moves
         self.modbase_caller = modbase_caller
         self.modbase_threshold = modbase_threshold
+        self.barcode_classifier = barcode_classifier
+        self.barcode_both_ends = barcode_both_ends
         self.scaler = Scaler(config.signal_norm_params, is_rna=config.is_rna_model)
         self.stats = PipelineStats()
 
@@ -248,7 +252,29 @@ class BasecallerPipeline:
         rec = self._make_record(wr, seq, qstring, moves)
         if self.modbase_caller is not None and len(seq):
             self._add_modbase_tags(rec, seq, moves, wr.scaled)
+        if self.barcode_classifier is not None and len(seq):
+            self._add_barcode_tags(rec, seq)
         return rec
+
+    def _add_barcode_tags(self, rec, seq) -> None:
+        from dorado_tpu.demux.barcoder import UNCLASSIFIED, normalize_barcode_name
+
+        result = self.barcode_classifier.classify(
+            seq, barcode_both_ends=self.barcode_both_ends
+        )
+        if result.barcode_name == UNCLASSIFIED:
+            bc = UNCLASSIFIED
+        else:
+            bc = (
+                f"{self.barcode_classifier.kit_info['name']}_"
+                f"{normalize_barcode_name(result.barcode_name)}"
+            )
+            # classified reads get the barcode appended to their read group
+            # (ReadCommon::generate_read_group, messages.cpp:27-40)
+            for t in rec.tags:
+                if t.tag == "RG":
+                    t.value = f"{t.value}_{bc}"
+        rec.tags.append(SamTag("BC", "Z", bc))
 
     def _add_modbase_tags(self, rec, seq, moves, scaled_signal) -> None:
         from dorado_tpu.modbase.tags import (
