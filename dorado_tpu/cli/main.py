@@ -340,6 +340,62 @@ def _run_demux(args: argparse.Namespace) -> int:
     return 0
 
 
+def _add_trim(sub: argparse._SubParsersAction) -> None:
+    p = sub.add_parser("trim", help="Trim adapters/primers from a basecalled BAM/SAM")
+    p.add_argument("reads")
+    p.add_argument("-o", "--output", default="-")
+    p.add_argument("--emit-sam", action="store_true")
+    p.add_argument("--kit-name", default=None)
+    p.add_argument(
+        "--primer-sequences", default=None, help="(unsupported custom primer file)"
+    )
+    p.add_argument("--no-trim-primers", action="store_true")
+    p.set_defaults(func=_run_trim)
+
+
+def _run_trim(args: argparse.Namespace) -> int:
+    from dorado_tpu.demux.adapters import (
+        determine_trim_interval,
+        find_adapters,
+        find_primers,
+    )
+    from dorado_tpu.demux.trimmer import trim_record
+    from dorado_tpu.io.bam_reader import read_records
+    from dorado_tpu.io.sam import BamWriter, SamHeader, SamWriter
+
+    header_text, records = read_records(args.reads)
+    header = SamHeader()
+
+    out_is_stdout = args.output == "-"
+    if args.emit_sam:
+        fh = sys.stdout if out_is_stdout else open(args.output, "w")
+        writer = SamWriter(fh, header)
+    else:
+        fh = sys.stdout.buffer if out_is_stdout else open(args.output, "wb")
+        writer = BamWriter(fh, header)
+
+    n_trimmed = 0
+    for rec in records:
+        seq = rec.seq if rec.seq != "*" else ""
+        if seq:
+            res = find_adapters(seq, args.kit_name)
+            interval = determine_trim_interval(res, len(seq))
+            trim_record(rec, interval)
+            if not args.no_trim_primers:
+                seq2 = rec.seq
+                res2 = find_primers(seq2, args.kit_name)
+                interval2 = determine_trim_interval(res2, len(seq2))
+                trim_record(rec, interval2)
+            if len(rec.seq) != len(seq):
+                n_trimmed += 1
+        writer.write(rec)
+    writer.close()
+    if not out_is_stdout:
+        fh.close()
+    print(f"> Trimmed {n_trimmed}/{len(records)} reads", file=sys.stderr)
+    return 0
+
+
 def _add_summary(sub: argparse._SubParsersAction) -> None:
     p = sub.add_parser("summary", help="Create sequencing summary from a BAM/SAM")
     p.add_argument("reads", help="Basecalled BAM or SAM file")
@@ -364,6 +420,7 @@ def main(argv: list[str] | None = None) -> int:
     _add_download(sub)
     _add_summary(sub)
     _add_demux(sub)
+    _add_trim(sub)
     args = parser.parse_args(argv)
     return args.func(args)
 
