@@ -15,6 +15,7 @@ materialisation, and in `beam` mode the reference beam search.
 
 from __future__ import annotations
 
+import os
 from dataclasses import dataclass
 from functools import partial
 
@@ -113,6 +114,7 @@ class BasecallRunner:
             q_scale=config.qscale,
         )
         self.stats = RunnerStats()
+        self._pool = None
         self.params = jax.tree_util.tree_map(
             lambda x: jnp.asarray(x, dtype=compute_dtype), params
         )
@@ -209,9 +211,13 @@ class BasecallRunner:
             return results
 
         scores, back_guides, posts = (np.asarray(o) for o in out)
-        results = []
-        for i in range(num_chunks):
-            states, moves, qual_data, _ = beam_search(
+
+        def decode_one(i: int) -> DecodedChunk:
+            # decode part 2 on host (CUDADecoder.cpp:115 analogue): the C++
+            # beam search releases the GIL, so chunks decode in parallel
+            from dorado_tpu.native import beam_search_native
+
+            states, moves, qual_data, _ = beam_search_native(
                 scores[i],
                 back_guides[i],
                 posts[i],
@@ -222,5 +228,12 @@ class BasecallRunner:
             seq, qstring = generate_sequence(
                 moves, states, qual_data, self.options.q_shift, self.options.q_scale
             )
-            results.append(DecodedChunk(sequence=seq, qstring=qstring, moves=moves))
-        return results
+            return DecodedChunk(sequence=seq, qstring=qstring, moves=moves)
+
+        if num_chunks > 1:
+            from concurrent.futures import ThreadPoolExecutor
+
+            if self._pool is None:
+                self._pool = ThreadPoolExecutor(max_workers=min(16, os.cpu_count() or 4))
+            return list(self._pool.map(decode_one, range(num_chunks)))
+        return [decode_one(i) for i in range(num_chunks)]

@@ -29,7 +29,7 @@ MODE_SHW = 2  # prefix (free gap at target end)
 
 
 def _build() -> None:
-    sources = [str(_SRC_DIR / "align.cpp")]
+    sources = [str(p) for p in sorted(_SRC_DIR.glob("*.cpp"))]
     cmd = [
         "g++",
         "-O3",
@@ -71,7 +71,61 @@ def _get_lib() -> ctypes.CDLL:
             ctypes.POINTER(ctypes.c_int32),
             ctypes.c_char_p,
         ]
+        _lib.dt_beam_search.restype = ctypes.c_int
+        _f32p = np.ctypeslib.ndpointer(dtype=np.float32, flags="C_CONTIGUOUS")
+        _lib.dt_beam_search.argtypes = [
+            _f32p,
+            ctypes.c_int,
+            ctypes.c_int,
+            _f32p,
+            _f32p,
+            ctypes.c_int,
+            ctypes.c_float,
+            ctypes.c_float,
+            np.ctypeslib.ndpointer(dtype=np.int32, flags="C_CONTIGUOUS"),
+            np.ctypeslib.ndpointer(dtype=np.uint8, flags="C_CONTIGUOUS"),
+            _f32p,
+            ctypes.POINTER(ctypes.c_float),
+        ]
     return _lib
+
+
+def beam_search_native(
+    scores: np.ndarray,
+    back_guide: np.ndarray,
+    posts: np.ndarray,
+    beam_width: int = 32,
+    beam_cut: float = 100.0,
+    fixed_stay_score: float = 2.0,
+):
+    """C++ beam search for one chunk; same contract as
+    decode/beam_search.py::beam_search (states, moves, qual_data, score)."""
+    lib = _get_lib()
+    scores = np.ascontiguousarray(scores, dtype=np.float32)
+    back_guide = np.ascontiguousarray(back_guide, dtype=np.float32)
+    posts = np.ascontiguousarray(posts, dtype=np.float32)
+    t_len, c_dim = scores.shape
+    states = np.zeros(t_len, dtype=np.int32)
+    moves = np.zeros(t_len, dtype=np.uint8)
+    qual = np.zeros((t_len, 4), dtype=np.float32)
+    score = ctypes.c_float()
+    rc = lib.dt_beam_search(
+        scores,
+        t_len,
+        c_dim,
+        back_guide,
+        posts,
+        beam_width,
+        beam_cut,
+        fixed_stay_score,
+        states,
+        moves,
+        qual,
+        ctypes.byref(score),
+    )
+    if rc != 0:
+        raise RuntimeError(f"dt_beam_search failed with code {rc}")
+    return states, moves, qual, float(score.value)
 
 
 def make_equality_table(pairs: list[tuple[str, str]]) -> bytes:
