@@ -135,6 +135,42 @@ class BasecallRunner:
                 )
 
         blank = float(self.options.blank_score)
+        num_states = config.num_states
+
+        def device_qual(states_nt, posts_nt):
+            """Per-block base probabilities fully on device — the jnp
+            counterpart of _qual_data_from_posts_batch, so only [N, T, 4]
+            leaves the chip instead of full posteriors."""
+            n, t = states_nt.shape
+            msb = num_states >> 2
+            state = states_nt.astype(jnp.int32)
+            base = state & 3
+            l_shift = state >> 2
+            r_shift = (state << 2) % num_states
+            shift_base = jnp.arange(4, dtype=jnp.int32)
+            shifted = jnp.stack(
+                [l_shift[..., None] + msb * shift_base, r_shift[..., None] + shift_base],
+                axis=-1,
+            ).reshape(n, t, 8)  # interleaved [l0, r0, l1, r1, ...]
+
+            t_posts = posts_nt[:, 1 : t + 1]
+            block_prob = jnp.take_along_axis(t_posts, state[..., None], axis=2)[..., 0]
+
+            not_self = shifted != state[..., None]
+            first = jnp.ones_like(not_self)
+            for j in range(1, 8):
+                dup = (shifted[..., :j] == shifted[..., j : j + 1]).any(axis=-1)
+                first = first.at[..., j].set(~dup)
+            gathered = jnp.take_along_axis(t_posts, shifted, axis=2)
+            block_prob = block_prob + (gathered * (not_self & first)).sum(axis=-1)
+
+            block_prob = jnp.clip(block_prob, 0.0, 1.0) ** 0.4
+            wrong = (1.0 - block_prob) / 3.0
+            qual = jnp.repeat(wrong[..., None], 4, axis=-1)
+            qual = jnp.where(
+                jax.nn.one_hot(base, 4, dtype=bool), block_prob[..., None], qual
+            )
+            return qual
 
         @jax.jit
         def device_viterbi(p, sig):
@@ -144,11 +180,9 @@ class BasecallRunner:
             beta = backward_scores(scores_tnc, blank)
             posts = jax.nn.softmax(alpha + beta, axis=-1)
             states, moves = viterbi_path(scores_tnc, blank)
-            return (
-                jnp.swapaxes(states, 0, 1),
-                jnp.swapaxes(moves, 0, 1),
-                jnp.swapaxes(posts, 0, 1),
-            )
+            states_nt = jnp.swapaxes(states, 0, 1)
+            qual = device_qual(states_nt, jnp.swapaxes(posts, 0, 1))
+            return states_nt, jnp.swapaxes(moves, 0, 1), qual
 
         @jax.jit
         def device_beam(p, sig):
@@ -196,10 +230,7 @@ class BasecallRunner:
 
         out = self._device_fn(self.params, jnp.asarray(buffer))
         if self.decoder == "viterbi":
-            states, moves, posts = (np.asarray(o) for o in out)
-            qual = _qual_data_from_posts_batch(
-                states[:num_chunks], posts[:num_chunks], self.config.num_states
-            )
+            states, moves, qual = (np.asarray(o) for o in out)
             results = []
             for i in range(num_chunks):
                 seq, qstring = generate_sequence(

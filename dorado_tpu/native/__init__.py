@@ -45,17 +45,22 @@ def _build() -> None:
 
 
 _lib = None
+_lib_lock = __import__("threading").Lock()
 
 
 def _get_lib() -> ctypes.CDLL:
     global _lib
-    if _lib is None:
+    if _lib is not None:
+        return _lib
+    with _lib_lock:
+        if _lib is not None:
+            return _lib
         src_mtime = max(p.stat().st_mtime for p in _SRC_DIR.glob("*.cpp"))
         if not _LIB_PATH.exists() or _LIB_PATH.stat().st_mtime < src_mtime:
             _build()
-        _lib = ctypes.CDLL(str(_LIB_PATH))
-        _lib.dt_align.restype = ctypes.c_int
-        _lib.dt_align.argtypes = [
+        lib = ctypes.CDLL(str(_LIB_PATH))
+        lib.dt_align.restype = ctypes.c_int
+        lib.dt_align.argtypes = [
             ctypes.c_char_p,
             ctypes.c_int,
             ctypes.c_char_p,
@@ -71,9 +76,9 @@ def _get_lib() -> ctypes.CDLL:
             ctypes.POINTER(ctypes.c_int32),
             ctypes.c_char_p,
         ]
-        _lib.dt_beam_search.restype = ctypes.c_int
+        lib.dt_beam_search.restype = ctypes.c_int
         _f32p = np.ctypeslib.ndpointer(dtype=np.float32, flags="C_CONTIGUOUS")
-        _lib.dt_beam_search.argtypes = [
+        lib.dt_beam_search.argtypes = [
             _f32p,
             ctypes.c_int,
             ctypes.c_int,
@@ -87,6 +92,7 @@ def _get_lib() -> ctypes.CDLL:
             _f32p,
             ctypes.POINTER(ctypes.c_float),
         ]
+        _lib = lib
     return _lib
 
 
