@@ -56,6 +56,7 @@ def _add_basecaller(sub: argparse._SubParsersAction) -> None:
     p.add_argument("--modified-bases-threshold", type=float, default=0.05)
     p.add_argument("--kit-name", default=None, help="Barcoding kit (e.g. SQK-NBD114-24)")
     p.add_argument("--barcode-both-ends", action="store_true")
+    p.add_argument("--estimate-poly-a", action="store_true")
     p.set_defaults(func=_run_basecaller)
 
 
@@ -112,6 +113,7 @@ def _run_basecaller(args: argparse.Namespace) -> int:
         modbase_threshold=args.modified_bases_threshold,
         barcode_classifier=barcode_classifier,
         barcode_both_ends=args.barcode_both_ends,
+        estimate_poly_a=args.estimate_poly_a,
     )
 
     from dorado_tpu.io.pod5 import find_pod5_files

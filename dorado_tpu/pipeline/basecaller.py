@@ -81,6 +81,8 @@ class BasecallerPipeline:
         modbase_threshold: float = 0.05,
         barcode_classifier=None,
         barcode_both_ends: bool = False,
+        estimate_poly_a: bool = False,
+        poly_a_config=None,
     ):
         import jax.numpy as jnp
 
@@ -103,6 +105,16 @@ class BasecallerPipeline:
         self.modbase_threshold = modbase_threshold
         self.barcode_classifier = barcode_classifier
         self.barcode_both_ends = barcode_both_ends
+        self.poly_tail_calculator = None
+        if estimate_poly_a:
+            from dorado_tpu.polytail import make_calculator
+
+            self.poly_tail_calculator = make_calculator(
+                config=poly_a_config,
+                is_rna=config.is_rna_model,
+                speed=config.polya_speed_correction,
+                offset=config.polya_offset_correction,
+            )
         self.scaler = Scaler(config.signal_norm_params, is_rna=config.is_rna_model)
         self.stats = PipelineStats()
 
@@ -254,7 +266,36 @@ class BasecallerPipeline:
             self._add_modbase_tags(rec, seq, moves, wr.scaled)
         if self.barcode_classifier is not None and len(seq):
             self._add_barcode_tags(rec, seq)
+        if self.poly_tail_calculator is not None and len(seq):
+            self._add_poly_a_tags(rec, wr, seq, moves)
         return rec
+
+    def _add_poly_a_tags(self, rec, wr, seq, moves) -> None:
+        from dorado_tpu.polytail.calculator import ReadContext
+
+        result = self.poly_tail_calculator.calculate_num_bases(
+            ReadContext(
+                seq=seq,
+                moves=np.asarray(moves),
+                signal=wr.scaled,
+                stride=self.config.stride,
+                num_trimmed_samples=wr.num_trimmed,
+                flow_cell_product_code=wr.read.run_info.flow_cell_product_code,
+            )
+        )
+        # pt:i tail length (-1 = estimation failed), pa:B:i signal ranges
+        rec.tags.append(SamTag("pt", "i", max(result.num_bases, 0) if result.num_bases >= 0 else -1))
+        pa = np.array(
+            [
+                result.signal_range[0],
+                result.signal_range[0],
+                result.signal_range[1],
+                result.split_signal_range[0],
+                result.split_signal_range[1],
+            ],
+            dtype=np.int32,
+        )
+        rec.tags.append(SamTag("pa", "B", pa, subtype="i"))
 
     def _add_barcode_tags(self, rec, seq) -> None:
         from dorado_tpu.demux.barcoder import UNCLASSIFIED, normalize_barcode_name
