@@ -183,9 +183,10 @@ class DuplexPipeline:
             self.simplex._flush_batch(finished)
             while finished:
                 wr = finished.pop()
-                rec = self.simplex._finish_read(wr)
-                self.stats.simplex_reads += 1
-                simplex_records.append(rec)
+                recs = self.simplex._finish_read(wr)
+                rec = recs[0]
+                self.stats.simplex_reads += len(recs)
+                simplex_records.extend(recs)
                 cand = self._simplex_to_candidate(rec, wr)
                 pair = self.pairer.push(cand)
                 if pair is not None:

@@ -83,6 +83,7 @@ class BasecallerPipeline:
         barcode_both_ends: bool = False,
         estimate_poly_a: bool = False,
         poly_a_config=None,
+        split_reads: bool = True,
     ):
         import jax.numpy as jnp
 
@@ -105,6 +106,19 @@ class BasecallerPipeline:
         self.modbase_threshold = modbase_threshold
         self.barcode_classifier = barcode_classifier
         self.barcode_both_ends = barcode_both_ends
+        self.read_splitter = None
+        if split_reads and not config.is_rna_model:
+            from dorado_tpu.splitter import DuplexReadSplitter, DuplexSplitSettings
+
+            pa = config.signal_norm_params.standardisation.standardise
+            self.read_splitter = DuplexReadSplitter(
+                DuplexSplitSettings.for_pa_scaling()
+                if pa
+                else DuplexSplitSettings()
+            )
+            # simplex pipeline uses the reduced finder set (ReadSplitNode in
+            # simplex mode, pipeline_creation.cpp:84-99)
+            self.read_splitter.settings.simplex_mode = True
         self.poly_tail_calculator = None
         if estimate_poly_a:
             from dorado_tpu.polytail import make_calculator
@@ -238,7 +252,7 @@ class BasecallerPipeline:
     # finish: stitch + record
     # ------------------------------------------------------------------
 
-    def _finish_read(self, wr: _WorkingRead) -> SamRecord:
+    def _finish_read(self, wr: _WorkingRead) -> list[SamRecord]:
         called = [
             CalledChunk(
                 seq=res.sequence,
@@ -259,16 +273,41 @@ class BasecallerPipeline:
             qstring = qstring[::-1]
             moves = np.ascontiguousarray(moves[::-1])
 
-        self.stats.reads_called += 1
-        self.stats.bases_called += len(seq)
-        rec = self._make_record(wr, seq, qstring, moves)
-        if self.modbase_caller is not None and len(seq):
-            self._add_modbase_tags(rec, seq, moves, wr.scaled)
-        if self.barcode_classifier is not None and len(seq):
-            self._add_barcode_tags(rec, seq)
-        if self.poly_tail_calculator is not None and len(seq):
-            self._add_poly_a_tags(rec, wr, seq, moves)
-        return rec
+        parts = [(seq, qstring, moves, wr.scaled, None)]
+        if self.read_splitter is not None and len(seq):
+            subs = self.read_splitter.split(
+                seq, qstring, moves, wr.scaled, self.config.stride
+            )
+            if len(subs) > 1:
+                parts = [
+                    (s.seq, s.qstring, s.moves, s.signal, s.signal_range[0])
+                    for s in subs
+                ]
+
+        records = []
+        for i, (s_seq, s_q, s_moves, s_signal, split_point) in enumerate(parts):
+            self.stats.reads_called += 1
+            self.stats.bases_called += len(s_seq)
+            rec = self._make_record(wr, s_seq, s_q, s_moves)
+            if len(parts) > 1:
+                # split subreads: derived id, pi parent tag, sp split point,
+                # rn=-1 (messages.cpp:95-108, splitter subread semantics)
+                rec.qname = f"{wr.read.read_id}:{i}"
+                rec.tags.append(SamTag("pi", "Z", wr.read.read_id))
+                rec.tags.append(SamTag("sp", "i", int(split_point or 0)))
+                for t in rec.tags:
+                    if t.tag == "rn":
+                        t.value = -1
+                    elif t.tag in ("ns", "du"):
+                        pass
+            if self.modbase_caller is not None and len(s_seq):
+                self._add_modbase_tags(rec, s_seq, s_moves, s_signal)
+            if self.barcode_classifier is not None and len(s_seq):
+                self._add_barcode_tags(rec, s_seq)
+            if self.poly_tail_calculator is not None and len(s_seq):
+                self._add_poly_a_tags(rec, wr, s_seq, s_moves)
+            records.append(rec)
+        return records
 
     def _add_poly_a_tags(self, rec, wr, seq, moves) -> None:
         from dorado_tpu.polytail.calculator import ReadContext
@@ -394,7 +433,8 @@ class BasecallerPipeline:
         def flush():
             self._flush_batch(finished)
             while finished:
-                writer.write(self._finish_read(finished.pop()))
+                for rec in self._finish_read(finished.pop()):
+                    writer.write(rec)
 
         for f in files:
             reader = Pod5File(f)
