@@ -57,6 +57,8 @@ def _add_basecaller(sub: argparse._SubParsersAction) -> None:
     p.add_argument("--kit-name", default=None, help="Barcoding kit (e.g. SQK-NBD114-24)")
     p.add_argument("--barcode-both-ends", action="store_true")
     p.add_argument("--estimate-poly-a", action="store_true")
+    p.add_argument("--min-qscore", type=float, default=0.0)
+    p.add_argument("--resume-from", default=None, help="Resume from a partial BAM/SAM")
     p.set_defaults(func=_run_basecaller)
 
 
@@ -94,6 +96,19 @@ def _run_basecaller(args: argparse.Namespace) -> int:
         )
         return 1
 
+    # --resume-from: replay completed records and skip their read ids
+    # (resume_loader/ResumeLoader.cpp:16-60)
+    skip_read_ids = set()
+    resume_records = []
+    if args.resume_from:
+        from dorado_tpu.io.bam_reader import read_records
+
+        _, resume_records = read_records(args.resume_from)
+        for rec in resume_records:
+            pid = next((t.value for t in rec.tags if t.tag == "pi"), None)
+            skip_read_ids.add(pid if pid else rec.qname)
+        print(f"> Resuming: {len(skip_read_ids)} reads already basecalled", file=sys.stderr)
+
     barcode_classifier = None
     if args.kit_name:
         from dorado_tpu.demux import BarcodeClassifier
@@ -114,6 +129,8 @@ def _run_basecaller(args: argparse.Namespace) -> int:
         barcode_classifier=barcode_classifier,
         barcode_both_ends=args.barcode_both_ends,
         estimate_poly_a=args.estimate_poly_a,
+        min_qscore=args.min_qscore,
+        skip_read_ids=skip_read_ids,
     )
 
     from dorado_tpu.io.pod5 import find_pod5_files
@@ -136,6 +153,8 @@ def _run_basecaller(args: argparse.Namespace) -> int:
         writer = BamWriter(fh, header)
 
     t0 = time.perf_counter()
+    for rec in resume_records:
+        writer.write(rec)
     stats = pipeline.run(args.data, writer, recursive=args.recursive)
     writer.close()
     if not out_is_stdout:
@@ -415,6 +434,15 @@ def _run_summary(args: argparse.Namespace) -> int:
 
 
 def main(argv: list[str] | None = None) -> int:
+    # The environment may pre-import jax (sitecustomize) before JAX_PLATFORMS
+    # is read; re-apply it so `JAX_PLATFORMS=cpu dorado_tpu ...` works.
+    import os
+
+    if os.environ.get("JAX_PLATFORMS"):
+        import jax
+
+        jax.config.update("jax_platforms", os.environ["JAX_PLATFORMS"])
+
     parser = argparse.ArgumentParser(prog="dorado_tpu")
     sub = parser.add_subparsers(dest="command", required=True)
     _add_basecaller(sub)

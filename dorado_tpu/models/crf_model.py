@@ -207,6 +207,50 @@ def _lstm_stack_pallas(params: Params, x: jnp.ndarray, reverse_first: bool) -> j
     return jnp.swapaxes(xt, 0, 1)
 
 
+def flstm_layer(p: Params, x: jnp.ndarray, reverse: bool) -> jnp.ndarray:
+    """Factorised LSTM layer (dorado/nn/FLSTMStack.cpp:95-127): inputs and
+    hidden state are down-projected to K dims, concatenated, and up-projected
+    to the 4C gates (bias = up_bias_ih only, matching forward_cublas)."""
+    dtype = x.dtype
+    dn_ih = p["dn_w_ih"].astype(dtype)  # [K, C]
+    dn_hh = p["dn_w_hh"].astype(dtype)  # [K, C]
+    up_ih = p["up_w_ih"].astype(dtype)  # [4C, K]
+    up_hh = p["up_w_hh"].astype(dtype)  # [4C, K]
+    bias = p["up_b_ih"].astype(jnp.float32)
+
+    n, t, c = x.shape
+    # hoist the input half out of the recurrence:
+    # gates_x = (x @ dn_ih^T) @ up_ih^T
+    x_dn = jnp.einsum("ntc,kc->ntk", x, dn_ih, preferred_element_type=jnp.float32)
+    gates_x = (
+        jnp.einsum(
+            "ntk,gk->ntg", x_dn.astype(dtype), up_ih, preferred_element_type=jnp.float32
+        )
+        + bias
+    )
+    if reverse:
+        gates_x = jnp.flip(gates_x, axis=1)
+    gates_x = jnp.swapaxes(gates_x, 0, 1)  # [T, N, 4C]
+
+    def step(carry, gx):
+        h_prev, c_prev = carry
+        h_dn = jnp.einsum("nc,kc->nk", h_prev, dn_hh, preferred_element_type=jnp.float32)
+        gates = gx + jnp.einsum(
+            "nk,gk->ng", h_dn.astype(dtype), up_hh, preferred_element_type=jnp.float32
+        )
+        i, f, g, o = jnp.split(gates, 4, axis=-1)
+        c_new = jax.nn.sigmoid(f) * c_prev + jax.nn.sigmoid(i) * jnp.tanh(g)
+        h_new = jax.nn.sigmoid(o) * jnp.tanh(c_new)
+        return (h_new.astype(dtype), c_new), h_new.astype(dtype)
+
+    init = (jnp.zeros((n, c), dtype), jnp.zeros((n, c), jnp.float32))
+    _, out_t = jax.lax.scan(step, init, gates_x)
+    out = jnp.swapaxes(out_t, 0, 1)
+    if reverse:
+        out = jnp.flip(out, axis=1)
+    return out
+
+
 def lstm_stack(
     params: Params,
     x: jnp.ndarray,
@@ -214,7 +258,13 @@ def lstm_stack(
     use_pallas: bool = False,
 ) -> jnp.ndarray:
     """Alternating-direction LSTM layers (first layer reversed for v4 models,
-    matching dorado/nn/LSTMStack.cpp:29-41)."""
+    matching dorado/nn/LSTMStack.cpp:29-41). Factorised layers (FLSTM) are
+    detected by their parameter names."""
+    if params["lstms"] and "dn_w_ih" in params["lstms"][0]:
+        for i, p in enumerate(params["lstms"]):
+            reverse = (i % 2 == 0) if reverse_first else (i % 2 == 1)
+            x = flstm_layer(p, x, reverse=reverse)
+        return x
     if use_pallas:
         return _lstm_stack_pallas(params, x, reverse_first)
     for i, p in enumerate(params["lstms"]):

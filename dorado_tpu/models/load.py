@@ -49,6 +49,19 @@ def load_lstm_params(config: BasecallModelConfig) -> Params:
     n_convs = len(config.convs)
     for l in range(config.lstm_layers):
         layer = n_convs + l + 1  # reference skips one index for the fused permute layer
+        if config.is_flstm_model:
+            # factorised LSTM weights (crf_utils.cpp:36-41)
+            params["lstms"].append(
+                {
+                    "dn_w_ih": load_tensor(d / f"{layer}.rnn.dn_weight_ih.tensor"),
+                    "dn_w_hh": load_tensor(d / f"{layer}.rnn.dn_weight_hh.tensor"),
+                    "up_w_ih": load_tensor(d / f"{layer}.rnn.up_weight_ih.tensor"),
+                    "up_w_hh": load_tensor(d / f"{layer}.rnn.up_weight_hh.tensor"),
+                    "up_b_ih": load_tensor(d / f"{layer}.rnn.up_bias_ih.tensor"),
+                    "up_b_hh": load_tensor(d / f"{layer}.rnn.up_bias_hh.tensor"),
+                }
+            )
+            continue
         params["lstms"].append(
             {
                 "w_ih": load_tensor(d / f"{layer}.rnn.weight_ih_l0.tensor"),

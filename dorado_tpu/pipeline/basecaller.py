@@ -84,6 +84,8 @@ class BasecallerPipeline:
         estimate_poly_a: bool = False,
         poly_a_config=None,
         split_reads: bool = True,
+        min_qscore: float = 0.0,
+        skip_read_ids: set | None = None,
     ):
         import jax.numpy as jnp
 
@@ -129,6 +131,9 @@ class BasecallerPipeline:
                 speed=config.polya_speed_correction,
                 offset=config.polya_offset_correction,
             )
+        self.min_qscore = min_qscore
+        self.skip_read_ids = skip_read_ids or set()
+        self.reads_filtered = 0
         self.scaler = Scaler(config.signal_norm_params, is_rna=config.is_rna_model)
         self.stats = PipelineStats()
 
@@ -205,6 +210,8 @@ class BasecallerPipeline:
         return scaled.astype(np.float32), trim_start, shift_pa, scale_pa, strategy.value
 
     def _feed_read(self, read: Pod5Read, flush_cb) -> None:
+        if read.read_id in self.skip_read_ids:
+            return
         scaled, trimmed, shift_pa, scale_pa, method = self._scale_and_trim(read)
         if len(scaled) == 0:
             return
@@ -306,6 +313,11 @@ class BasecallerPipeline:
                 self._add_barcode_tags(rec, s_seq)
             if self.poly_tail_calculator is not None and len(s_seq):
                 self._add_poly_a_tags(rec, wr, s_seq, s_moves)
+            if self.min_qscore > 0:
+                qs = next((t.value for t in rec.tags if t.tag == "qs"), 0.0)
+                if qs < self.min_qscore:
+                    self.reads_filtered += 1
+                    continue
             records.append(rec)
         return records
 
