@@ -417,6 +417,93 @@ def _run_trim(args: argparse.Namespace) -> int:
     return 0
 
 
+def _add_aligner(sub: argparse._SubParsersAction) -> None:
+    p = sub.add_parser("aligner", help="Align reads to a reference (from-scratch mapper)")
+    p.add_argument("reference", help="Reference FASTA")
+    p.add_argument("reads", help="Reads: BAM/SAM/FASTQ")
+    p.add_argument("-o", "--output", default="-")
+    p.add_argument("--emit-sam", action="store_true")
+    p.add_argument("-k", type=int, default=15)
+    p.add_argument("-w", type=int, default=10)
+    p.set_defaults(func=_run_aligner)
+
+
+def _read_fastq(path):
+    from dorado_tpu.io.sam import SamRecord
+
+    records = []
+    with open(path) as fh:
+        while True:
+            h = fh.readline().strip()
+            if not h:
+                break
+            seq = fh.readline().strip()
+            fh.readline()
+            qual = fh.readline().strip()
+            records.append(SamRecord(qname=h[1:].split()[0], seq=seq, qual=qual))
+    return records
+
+
+def _run_aligner(args: argparse.Namespace) -> int:
+    from dorado_tpu.alignment import Mapper, ReferenceIndex
+    from dorado_tpu.io.bam_reader import read_records
+    from dorado_tpu.io.sam import BamWriter, SamHeader, SamTag, SamWriter
+    from dorado_tpu.utils import reverse_complement
+
+    print(f"> Indexing {args.reference}", file=sys.stderr)
+    index = ReferenceIndex.build(args.reference, k=args.k, w=args.w)
+    mapper = Mapper(index)
+
+    if args.reads.endswith((".fastq", ".fq")):
+        records = _read_fastq(args.reads)
+    else:
+        _, records = read_records(args.reads)
+
+    header = SamHeader()
+    header.sort_order = "unsorted"
+    header.references = list(zip(index.names, index.lengths))
+    header.programs.append(
+        {"ID": "aligner", "PN": "dorado_tpu", "CL": " ".join(sys.argv)}
+    )
+
+    out_is_stdout = args.output == "-"
+    if args.emit_sam:
+        fh = sys.stdout if out_is_stdout else open(args.output, "w")
+        writer = SamWriter(fh, header)
+    else:
+        fh = sys.stdout.buffer if out_is_stdout else open(args.output, "wb")
+        writer = BamWriter(fh, header)
+
+    n_mapped = 0
+    for rec in records:
+        seq = rec.seq if rec.seq != "*" else ""
+        alns = mapper.map(seq) if seq else []
+        if not alns:
+            rec.flag |= 4
+            writer.write(rec)
+            continue
+        a = alns[0]
+        n_mapped += 1
+        rec.flag = 16 if a.is_reverse else 0
+        rec.rname = a.ref_name
+        rec.pos = a.ref_start + 1
+        rec.mapq = a.mapq
+        rec.cigar = a.cigar
+        if a.is_reverse:
+            rec.seq = reverse_complement(seq)
+            if rec.qual != "*":
+                rec.qual = rec.qual[::-1]
+        rec.tags = [t for t in rec.tags if t.tag not in ("NM", "AS")]
+        rec.tags.append(SamTag("NM", "i", a.nm))
+        rec.tags.append(SamTag("AS", "i", a.score))
+        writer.write(rec)
+    writer.close()
+    if not out_is_stdout:
+        fh.close()
+    print(f"> Mapped {n_mapped}/{len(records)} reads", file=sys.stderr)
+    return 0
+
+
 def _add_summary(sub: argparse._SubParsersAction) -> None:
     p = sub.add_parser("summary", help="Create sequencing summary from a BAM/SAM")
     p.add_argument("reads", help="Basecalled BAM or SAM file")
@@ -451,6 +538,7 @@ def main(argv: list[str] | None = None) -> int:
     _add_summary(sub)
     _add_demux(sub)
     _add_trim(sub)
+    _add_aligner(sub)
     args = parser.parse_args(argv)
     return args.func(args)
 
