@@ -222,13 +222,26 @@ class BasecallRunner:
             tiled = np.tile(signal, (reps, 1) if signal.ndim == 2 else reps)
             buffer[idx] = tiled[: self.chunk_size]
 
-    def call_chunks(self, buffer: np.ndarray, num_chunks: int) -> list[DecodedChunk]:
-        """Run the device program and materialise per-chunk calls."""
+    def dispatch(self, buffer: np.ndarray, num_chunks: int):
+        """Launch the device program asynchronously; returns an opaque handle
+        for `finish`. JAX dispatch is async, so the host can keep feeding /
+        decoding while the device computes (the reference overlaps the same
+        way with its per-caller CUDA stream, CudaCaller.cpp:634)."""
         self.stats.batches_called += 1
         self.stats.chunks_called += num_chunks
         self.stats.samples_called += buffer.shape[0] * buffer.shape[1]
+        return (self._device_fn(self.params, jnp.asarray(buffer)), num_chunks)
 
-        out = self._device_fn(self.params, jnp.asarray(buffer))
+    def finish(self, handle) -> list[DecodedChunk]:
+        """Block on a dispatched batch and materialise per-chunk calls."""
+        out, num_chunks = handle
+        return self._decode(out, num_chunks)
+
+    def call_chunks(self, buffer: np.ndarray, num_chunks: int) -> list[DecodedChunk]:
+        """Run the device program and materialise per-chunk calls."""
+        return self.finish(self.dispatch(buffer, num_chunks))
+
+    def _decode(self, out, num_chunks: int) -> list[DecodedChunk]:
         if self.decoder == "viterbi":
             states, moves, qual = (np.asarray(o) for o in out)
             results = []

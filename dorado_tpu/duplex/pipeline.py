@@ -200,6 +200,7 @@ class DuplexPipeline:
         for read in iter_reads(files, by_channel=True):
             self.simplex._feed_read(read, flush)
         flush()
+        flush()  # second pass harvests the batch left in flight
 
         # emit simplex reads with duplex-parent tagging
         for rec in simplex_records:

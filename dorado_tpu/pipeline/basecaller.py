@@ -138,7 +138,9 @@ class BasecallerPipeline:
         self.stats = PipelineStats()
 
         self._buffer = self.runner.make_input_buffer()
+        self._spare_buffer = self.runner.make_input_buffer()
         self._batch: list[tuple[_WorkingRead, int]] = []  # (read, chunk index)
+        self._inflight = None  # (device handle, batch) awaiting host decode
 
     # ------------------------------------------------------------------
     # header
@@ -240,20 +242,38 @@ class BasecallerPipeline:
                 flush_cb()
 
     def _flush_batch(self, finished: list[_WorkingRead]) -> None:
-        if not self._batch:
-            return
-        n = len(self._batch)
-        if n < self.runner.batch_size:
-            self._buffer[n:] = 0.0
-        decoded = self.runner.call_chunks(self._buffer, n)
-        self.stats.batches += 1
-        self.stats.samples_incl_padding += self._buffer.size
-        for (wr, ci), chunk in zip(self._batch, decoded):
-            wr.results[ci] = chunk
-            wr.pending -= 1
-            if wr.pending == 0:
-                finished.append(wr)
-        self._batch.clear()
+        """Dispatch the filled buffer and harvest the previously in-flight
+        batch — the device computes batch k+1 while the host decodes batch k
+        (the stream-overlap of CudaCaller.cpp:634 re-expressed with JAX async
+        dispatch)."""
+        if self._batch:
+            n = len(self._batch)
+            if n < self.runner.batch_size:
+                self._buffer[n:] = 0.0
+            handle = self.runner.dispatch(self._buffer, n)
+            self.stats.batches += 1
+            self.stats.samples_incl_padding += self._buffer.size
+            inflight = (handle, self._batch)
+            # rotate host buffers so feeding can overwrite freely
+            self._batch = []
+            self._buffer, self._spare_buffer = self._spare_buffer, self._buffer
+        else:
+            inflight = None
+
+        if self._inflight is not None:
+            handle, batch = self._inflight
+            decoded = self.runner.finish(handle)
+            for (wr, ci), chunk in zip(batch, decoded):
+                wr.results[ci] = chunk
+                wr.pending -= 1
+                if wr.pending == 0:
+                    finished.append(wr)
+        self._inflight = inflight
+
+    def _drain(self, finished: list[_WorkingRead]) -> None:
+        """Flush any partial batch and harvest all in-flight work."""
+        self._flush_batch(finished)
+        self._flush_batch(finished)
 
     # ------------------------------------------------------------------
     # finish: stitch + record
@@ -453,6 +473,10 @@ class BasecallerPipeline:
             for read in reader.reads():
                 read.filename = f.name
                 self._feed_read(read, flush)
-        flush()
+        # drain: dispatch the partial batch, then harvest everything in flight
+        self._drain(finished)
+        while finished:
+            for rec in self._finish_read(finished.pop()):
+                writer.write(rec)
         self.stats.elapsed_s = time.perf_counter() - t0
         return self.stats
