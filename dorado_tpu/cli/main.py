@@ -59,6 +59,9 @@ def _add_basecaller(sub: argparse._SubParsersAction) -> None:
     p.add_argument("--estimate-poly-a", action="store_true")
     p.add_argument("--min-qscore", type=float, default=0.0)
     p.add_argument("--resume-from", default=None, help="Resume from a partial BAM/SAM")
+    p.add_argument("--dump-stats-file", default=None)
+    p.add_argument("--dump-stats-filter", default="")
+    p.add_argument("--profile-dir", default=None, help="Write a JAX profiler trace")
     p.set_defaults(func=_run_basecaller)
 
 
@@ -152,22 +155,37 @@ def _run_basecaller(args: argparse.Namespace) -> int:
         fh = sys.stdout.buffer if out_is_stdout else open(args.output, "wb")
         writer = BamWriter(fh, header)
 
+    from contextlib import nullcontext
+
+    from dorado_tpu.utils.profiling import profiler_trace
+    from dorado_tpu.utils.stats import ProgressTracker, StatsSampler
+
+    sampler = None
+    stats_fh = None
+    if args.dump_stats_file:
+        stats_fh = open(args.dump_stats_file, "w")
+        sampler = StatsSampler(
+            {"basecaller": pipeline.sample_stats},
+            dump_stream=stats_fh,
+            dump_filter=args.dump_stats_filter,
+        )
+        sampler.start()
+
     t0 = time.perf_counter()
     for rec in resume_records:
         writer.write(rec)
-    stats = pipeline.run(args.data, writer, recursive=args.recursive)
+    with profiler_trace(args.profile_dir) if args.profile_dir else nullcontext():
+        stats = pipeline.run(args.data, writer, recursive=args.recursive)
     writer.close()
     if not out_is_stdout:
         fh.close()
     elapsed = time.perf_counter() - t0
+    if sampler is not None:
+        sampler.stop()
+        stats_fh.close()
 
     # throughput log line parity: dorado/cli/cli_lib/ProgressTracker.cpp:73-77
-    print(f"> Reads basecalled: {stats.reads_called}", file=sys.stderr)
-    print(f"> Basecalled @ Samples/s: {stats.samples_processed / elapsed:.3e}", file=sys.stderr)
-    print(f"> Basecalled @ Bases/s: {stats.bases_called / elapsed:.3e}", file=sys.stderr)
-    if stats.samples_incl_padding:
-        pct = 100.0 * (1.0 - stats.samples_processed / stats.samples_incl_padding)
-        print(f"> Padding percentage: {pct:.1f}%", file=sys.stderr)
+    ProgressTracker(sys.stderr).summarise(stats, elapsed)
     return 0
 
 

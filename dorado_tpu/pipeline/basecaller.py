@@ -142,6 +142,19 @@ class BasecallerPipeline:
         self._batch: list[tuple[_WorkingRead, int]] = []  # (read, chunk index)
         self._inflight = None  # (device handle, batch) awaiting host decode
 
+    def sample_stats(self) -> dict:
+        rs = self.runner.stats
+        return {
+            "reads_called": self.stats.reads_called,
+            "bases_called": self.stats.bases_called,
+            "samples_processed": self.stats.samples_processed,
+            "samples_incl_padding": self.stats.samples_incl_padding,
+            "batches_called": rs.batches_called,
+            "chunks_called": rs.chunks_called,
+            "reads_filtered": self.reads_filtered,
+            "batch_queue_depth": len(self._batch),
+        }
+
     # ------------------------------------------------------------------
     # header
     # ------------------------------------------------------------------
