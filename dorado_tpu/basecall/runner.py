@@ -106,6 +106,13 @@ class BasecallRunner:
         self.chunk_size = int(chunk_size or config.basecaller.chunk_size)
         granularity = config.chunk_size_granularity
         self.chunk_size -= self.chunk_size % granularity
+        # two chunk lengths {T, T/2} like the reference (CudaCaller.cpp:391-415):
+        # short reads route to the half-size program, cutting padding waste
+        half = (self.chunk_size // 2) - ((self.chunk_size // 2) % granularity)
+        overlap = config.basecaller.overlap
+        self.chunk_sizes = [self.chunk_size]
+        if half > overlap and half >= granularity:
+            self.chunk_sizes.append(half)
         self.batch_size = int(batch_size or config.basecaller.batch_size or 128)
         self.decoder = decoder
         self.options = DecoderOptions(
@@ -203,24 +210,32 @@ class BasecallRunner:
     def t_out(self) -> int:
         return self.chunk_size // self.config.stride
 
-    def make_input_buffer(self) -> np.ndarray:
+    def lane_for(self, raw_size: int) -> int:
+        """Smallest configured chunk size that holds a chunk of raw_size."""
+        for i in range(len(self.chunk_sizes) - 1, 0, -1):
+            if raw_size <= self.chunk_sizes[i]:
+                return i
+        return 0
+
+    def make_input_buffer(self, lane: int = 0) -> np.ndarray:
+        size = self.chunk_sizes[lane]
         if self.config.num_features > 1:
             return np.zeros(
-                (self.batch_size, self.chunk_size, self.config.num_features),
-                dtype=np.float32,
+                (self.batch_size, size, self.config.num_features), dtype=np.float32
             )
-        return np.zeros((self.batch_size, self.chunk_size), dtype=np.float32)
+        return np.zeros((self.batch_size, size), dtype=np.float32)
 
     def accept_chunk(self, buffer: np.ndarray, idx: int, signal: np.ndarray) -> None:
         """Copy one (possibly short) chunk into the batch, repeat-padding to
-        chunk_size (BasecallerNode.cpp:431-440). ``signal`` is [T] or [T, F]."""
+        the buffer's chunk size (BasecallerNode.cpp:431-440)."""
+        size = buffer.shape[1]
         n = len(signal)
-        if n == self.chunk_size:
+        if n == size:
             buffer[idx] = signal
         else:
-            reps = -(-self.chunk_size // n)
+            reps = -(-size // n)
             tiled = np.tile(signal, (reps, 1) if signal.ndim == 2 else reps)
-            buffer[idx] = tiled[: self.chunk_size]
+            buffer[idx] = tiled[:size]
 
     def dispatch(self, buffer: np.ndarray, num_chunks: int):
         """Launch the device program asynchronously; returns an opaque handle

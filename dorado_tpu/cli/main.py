@@ -543,10 +543,20 @@ def main(argv: list[str] | None = None) -> int:
     # is read; re-apply it so `JAX_PLATFORMS=cpu dorado_tpu ...` works.
     import os
 
-    if os.environ.get("JAX_PLATFORMS"):
-        import jax
+    import jax
 
+    if os.environ.get("JAX_PLATFORMS"):
         jax.config.update("jax_platforms", os.environ["JAX_PLATFORMS"])
+    # persistent compilation cache: repeat runs skip the (slow) XLA compile
+    cache_dir = os.environ.get(
+        "DORADO_TPU_CACHE_DIR", os.path.expanduser("~/.cache/dorado_tpu/jax")
+    )
+    try:
+        os.makedirs(cache_dir, exist_ok=True)
+        jax.config.update("jax_compilation_cache_dir", cache_dir)
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
+    except Exception:
+        pass
 
     parser = argparse.ArgumentParser(prog="dorado_tpu")
     sub = parser.add_subparsers(dest="command", required=True)

@@ -137,10 +137,16 @@ class BasecallerPipeline:
         self.scaler = Scaler(config.signal_norm_params, is_rna=config.is_rna_model)
         self.stats = PipelineStats()
 
-        self._buffer = self.runner.make_input_buffer()
-        self._spare_buffer = self.runner.make_input_buffer()
-        self._batch: list[tuple[_WorkingRead, int]] = []  # (read, chunk index)
-        self._inflight = None  # (device handle, batch) awaiting host decode
+        # one batching lane per configured chunk size ({T, T/2})
+        self._lanes = [
+            {
+                "buffer": self.runner.make_input_buffer(i),
+                "spare": self.runner.make_input_buffer(i),
+                "batch": [],  # (read, chunk index)
+                "inflight": None,  # (device handle, batch)
+            }
+            for i in range(len(self.runner.chunk_sizes))
+        ]
 
     def sample_stats(self) -> dict:
         rs = self.runner.stats
@@ -152,7 +158,7 @@ class BasecallerPipeline:
             "batches_called": rs.batches_called,
             "chunks_called": rs.chunks_called,
             "reads_filtered": self.reads_filtered,
-            "batch_queue_depth": len(self._batch),
+            "batch_queue_depth": sum(len(l["batch"]) for l in self._lanes),
         }
 
     # ------------------------------------------------------------------
@@ -248,45 +254,46 @@ class BasecallerPipeline:
         wr.pending = len(offsets)
         self.stats.samples_processed += len(scaled)
         for ci, off in enumerate(offsets):
-            idx = len(self._batch)
-            self.runner.accept_chunk(self._buffer, idx, scaled[off : off + sizes[ci]])
-            self._batch.append((wr, ci))
-            if len(self._batch) == self.runner.batch_size:
+            lane = self._lanes[self.runner.lane_for(sizes[ci])]
+            idx = len(lane["batch"])
+            self.runner.accept_chunk(lane["buffer"], idx, scaled[off : off + sizes[ci]])
+            lane["batch"].append((wr, ci))
+            if len(lane["batch"]) == self.runner.batch_size:
                 flush_cb()
 
-    def _flush_batch(self, finished: list[_WorkingRead]) -> None:
-        """Dispatch the filled buffer and harvest the previously in-flight
-        batch — the device computes batch k+1 while the host decodes batch k
-        (the stream-overlap of CudaCaller.cpp:634 re-expressed with JAX async
-        dispatch)."""
-        if self._batch:
-            n = len(self._batch)
-            if n < self.runner.batch_size:
-                self._buffer[n:] = 0.0
-            handle = self.runner.dispatch(self._buffer, n)
-            self.stats.batches += 1
-            self.stats.samples_incl_padding += self._buffer.size
-            inflight = (handle, self._batch)
-            # rotate host buffers so feeding can overwrite freely
-            self._batch = []
-            self._buffer, self._spare_buffer = self._spare_buffer, self._buffer
-        else:
-            inflight = None
+    def _flush_batch(self, finished: list[_WorkingRead], force: bool = False) -> None:
+        """Dispatch full lanes (all lanes when ``force``) and harvest
+        previously in-flight batches — the device computes batch k+1 while
+        the host decodes batch k (the stream-overlap of CudaCaller.cpp:634
+        re-expressed with JAX async dispatch)."""
+        for lane in self._lanes:
+            if lane["batch"] and (force or len(lane["batch"]) == self.runner.batch_size):
+                n = len(lane["batch"])
+                if n < self.runner.batch_size:
+                    lane["buffer"][n:] = 0.0
+                handle = self.runner.dispatch(lane["buffer"], n)
+                self.stats.batches += 1
+                self.stats.samples_incl_padding += lane["buffer"][..., 0].size if lane["buffer"].ndim == 3 else lane["buffer"].size
+                inflight = (handle, lane["batch"])
+                lane["batch"] = []
+                lane["buffer"], lane["spare"] = lane["spare"], lane["buffer"]
+            else:
+                inflight = None
 
-        if self._inflight is not None:
-            handle, batch = self._inflight
-            decoded = self.runner.finish(handle)
-            for (wr, ci), chunk in zip(batch, decoded):
-                wr.results[ci] = chunk
-                wr.pending -= 1
-                if wr.pending == 0:
-                    finished.append(wr)
-        self._inflight = inflight
+            if lane["inflight"] is not None:
+                handle, batch = lane["inflight"]
+                decoded = self.runner.finish(handle)
+                for (wr, ci), chunk in zip(batch, decoded):
+                    wr.results[ci] = chunk
+                    wr.pending -= 1
+                    if wr.pending == 0:
+                        finished.append(wr)
+            lane["inflight"] = inflight
 
     def _drain(self, finished: list[_WorkingRead]) -> None:
-        """Flush any partial batch and harvest all in-flight work."""
-        self._flush_batch(finished)
-        self._flush_batch(finished)
+        """Flush any partial batches and harvest all in-flight work."""
+        self._flush_batch(finished, force=True)
+        self._flush_batch(finished, force=True)
 
     # ------------------------------------------------------------------
     # finish: stitch + record
