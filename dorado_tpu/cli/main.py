@@ -522,6 +522,99 @@ def _run_aligner(args: argparse.Namespace) -> int:
     return 0
 
 
+def _add_polish(sub: argparse._SubParsersAction) -> None:
+    p = sub.add_parser("polish", help="Polish a draft assembly with aligned reads")
+    p.add_argument("reads", help="Aligned BAM/SAM (or FASTQ to self-align)")
+    p.add_argument("draft", help="Draft assembly FASTA")
+    p.add_argument("--model-params", default=None, help="GRU model params dir (.tensor files); random init if omitted (testing only)")
+    p.add_argument("-o", "--output", default="-")
+    p.add_argument("--window-len", type=int, default=10000)
+    p.set_defaults(func=_run_polish)
+
+
+def _run_polish(args: argparse.Namespace) -> int:
+    import jax
+
+    from dorado_tpu.io.bam_reader import read_records
+    from dorado_tpu.secondary.model import init_gru_params
+    from dorado_tpu.secondary.pileup import AlignedRead
+    from dorado_tpu.secondary.polish import PolishPipeline
+
+    if args.model_params:
+        from dorado_tpu.io.tensor_file import load_tensor
+        from pathlib import Path as P
+
+        d = P(args.model_params)
+        params = {"layers": [], "linear": {}}
+        l = 0
+        while (d / f"gru.weight_ih_l{l}.tensor").exists():
+            layer = {}
+            for key, sfx in (("fwd", ""), ("rev", "_reverse")):
+                if not (d / f"gru.weight_ih_l{l}{sfx}.tensor").exists():
+                    continue
+                layer[key] = {
+                    "w_ih": load_tensor(d / f"gru.weight_ih_l{l}{sfx}.tensor"),
+                    "w_hh": load_tensor(d / f"gru.weight_hh_l{l}{sfx}.tensor"),
+                    "b_ih": load_tensor(d / f"gru.bias_ih_l{l}{sfx}.tensor"),
+                    "b_hh": load_tensor(d / f"gru.bias_hh_l{l}{sfx}.tensor"),
+                }
+            params["layers"].append(layer)
+            l += 1
+        params["linear"] = {
+            "w": load_tensor(d / "linear.weight.tensor"),
+            "b": load_tensor(d / "linear.bias.tensor"),
+        }
+    else:
+        print(
+            "> WARNING: no --model-params given; using random weights "
+            "(structural test mode only)",
+            file=sys.stderr,
+        )
+        params = init_gru_params(jax.random.PRNGKey(0))
+
+    if args.reads.endswith((".fastq", ".fq")):
+        # self-align reads to the draft with the built-in mapper
+        from dorado_tpu.alignment import Mapper, ReferenceIndex
+
+        index = ReferenceIndex.build(args.draft)
+        mapper = Mapper(index)
+        by_contig: dict[str, list[AlignedRead]] = {}
+        for rec in _read_fastq(args.reads):
+            for a in mapper.map(rec.seq):
+                from dorado_tpu.utils import reverse_complement
+
+                seq = reverse_complement(rec.seq) if a.is_reverse else rec.seq
+                by_contig.setdefault(a.ref_name, []).append(
+                    AlignedRead(a.ref_start, a.cigar, seq, a.is_reverse)
+                )
+    else:
+        _, records = read_records(args.reads)
+        by_contig = {}
+        for rec in records:
+            if rec.flag & 4 or rec.rname == "*" or rec.cigar == "*":
+                continue
+            by_contig.setdefault(rec.rname, []).append(
+                AlignedRead(rec.pos - 1, rec.cigar, rec.seq, bool(rec.flag & 16))
+            )
+
+    pipeline = PolishPipeline(params, window_len=args.window_len)
+    results = pipeline.run(args.draft, by_contig)
+
+    fh = sys.stdout if args.output == "-" else open(args.output, "w")
+    for name, seq in results:
+        fh.write(f">{name}\n")
+        for i in range(0, len(seq), 80):
+            fh.write(seq[i : i + 80] + "\n")
+    if args.output != "-":
+        fh.close()
+    print(
+        f"> Polished {pipeline.stats.contigs} contig(s), "
+        f"{pipeline.stats.windows} window(s)",
+        file=sys.stderr,
+    )
+    return 0
+
+
 def _add_summary(sub: argparse._SubParsersAction) -> None:
     p = sub.add_parser("summary", help="Create sequencing summary from a BAM/SAM")
     p.add_argument("reads", help="Basecalled BAM or SAM file")
@@ -567,6 +660,7 @@ def main(argv: list[str] | None = None) -> int:
     _add_demux(sub)
     _add_trim(sub)
     _add_aligner(sub)
+    _add_polish(sub)
     args = parser.parse_args(argv)
     return args.func(args)
 

@@ -1,0 +1,106 @@
+"""Polishing subsystem tests: pileup counts, GRU torch parity, consensus
+decode, and an end-to-end polish over simulated reads."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from dorado_tpu.secondary.model import (
+    decode_consensus,
+    gru_forward,
+    init_gru_params,
+)
+from dorado_tpu.secondary.pileup import AlignedRead, build_pileup
+from dorado_tpu.secondary.polish import PolishPipeline
+
+
+class TestPileup:
+    def test_simple_matches(self):
+        reads = [
+            AlignedRead(ref_start=0, cigar="4M", seq="ACGT", is_reverse=False),
+            AlignedRead(ref_start=0, cigar="4M", seq="ACGT", is_reverse=True),
+        ]
+        pile = build_pileup(reads, 0, 4, normalise=False)
+        assert pile.counts.shape == (4, 10)
+        # forward A at position 0 -> column 4 ("A" fwd); reverse -> column 0
+        assert pile.counts[0, 4] == 1
+        assert pile.counts[0, 0] == 1
+        assert pile.positions_minor.sum() == 0
+
+    def test_deletion(self):
+        reads = [AlignedRead(ref_start=0, cigar="2M1D2M", seq="ACGT", is_reverse=False)]
+        pile = build_pileup(reads, 0, 5, normalise=False)
+        assert pile.counts[2, 9] == 1  # del fwd column
+
+    def test_insertion_creates_minor(self):
+        reads = [
+            AlignedRead(ref_start=0, cigar="2M2I2M", seq="ACGGTT", is_reverse=False),
+            AlignedRead(ref_start=0, cigar="4M", seq="ACTT", is_reverse=False),
+        ]
+        pile = build_pileup(reads, 0, 4, normalise=False)
+        # expanded positions: 0,1,(1.1),(1.2),2,3
+        assert len(pile.positions_major) == 6
+        assert pile.positions_minor.tolist() == [0, 0, 1, 2, 0, 0]
+        # the non-inserting read counts as deletion at the minor positions
+        minor1 = 2
+        assert pile.counts[minor1, 4 + 2] == 1  # inserted G (fwd)
+        assert pile.counts[minor1, 9] == 1  # spanning read -> del fwd
+
+    def test_normalisation(self):
+        reads = [
+            AlignedRead(ref_start=0, cigar="2M", seq="AA", is_reverse=False)
+            for _ in range(4)
+        ]
+        pile = build_pileup(reads, 0, 2)
+        np.testing.assert_allclose(pile.counts[0, 4], 1.0)
+        np.testing.assert_allclose(pile.depth[0], 4.0)
+
+
+class TestGRU:
+    def test_torch_parity(self):
+        torch = pytest.importorskip("torch")
+        params = init_gru_params(
+            jax.random.PRNGKey(0), num_features=10, num_classes=5, gru_size=16, num_layers=2
+        )
+        x = np.random.RandomState(0).randn(2, 12, 10).astype(np.float32)
+        ours = np.asarray(gru_forward(params, jnp.asarray(x)))
+
+        m = torch.nn.GRU(10, 16, num_layers=2, bidirectional=True, batch_first=True)
+        for l, layer in enumerate(params["layers"]):
+            for d, key in enumerate(["fwd", "rev"]):
+                sfx = f"_l{l}" + ("_reverse" if d else "")
+                getattr(m, f"weight_ih{sfx}").data = torch.from_numpy(np.asarray(layer[key]["w_ih"]))
+                getattr(m, f"weight_hh{sfx}").data = torch.from_numpy(np.asarray(layer[key]["w_hh"]))
+                getattr(m, f"bias_ih{sfx}").data = torch.from_numpy(np.asarray(layer[key]["b_ih"]))
+                getattr(m, f"bias_hh{sfx}").data = torch.from_numpy(np.asarray(layer[key]["b_hh"]))
+        lin = torch.nn.Linear(32, 5)
+        lin.weight.data = torch.from_numpy(np.asarray(params["linear"]["w"]))
+        lin.bias.data = torch.from_numpy(np.asarray(params["linear"]["b"]))
+        want = lin(m(torch.from_numpy(x))[0]).detach().numpy()
+        np.testing.assert_allclose(ours, want, atol=2e-5)
+
+    def test_decode(self):
+        logits = np.zeros((1, 5, 5), dtype=np.float32)
+        for i, c in enumerate([1, 2, 0, 3, 4]):  # A C * G T
+            logits[0, i, c] = 5.0
+        assert decode_consensus(logits) == "ACGT"
+
+
+class TestPolishEndToEnd:
+    def test_majority_vote_equivalent(self):
+        """With an identity-ish model we can't test biology, but the full
+        window/pileup/decode plumbing must run and keep zero-coverage spans
+        from the draft."""
+        rng = np.random.RandomState(0)
+        draft = "".join(rng.choice(list("ACGT"), 500))
+        reads = [
+            AlignedRead(ref_start=0, cigar="250M", seq=draft[:250], is_reverse=False),
+            AlignedRead(ref_start=0, cigar="250M", seq=draft[:250], is_reverse=True),
+        ]  # second half has no coverage
+        params = init_gru_params(jax.random.PRNGKey(1), gru_size=16, num_layers=1)
+        pipe = PolishPipeline(params, window_len=200)
+        out = pipe.polish_contig(draft, reads)
+        # uncovered tail comes back verbatim
+        assert out.endswith(draft[250:])
+        assert pipe.stats.windows == 3
