@@ -615,6 +615,88 @@ def _run_polish(args: argparse.Namespace) -> int:
     return 0
 
 
+def _add_variant(sub: argparse._SubParsersAction) -> None:
+    p = sub.add_parser("variant", help="Call variants against a draft reference")
+    p.add_argument("reads", help="Aligned BAM/SAM (or FASTQ to self-align)")
+    p.add_argument("draft", help="Reference FASTA")
+    p.add_argument("--model-params", default=None)
+    p.add_argument("-o", "--output", default="-")
+    p.add_argument("--window-len", type=int, default=10000)
+    p.set_defaults(func=_run_variant)
+
+
+def _run_variant(args: argparse.Namespace) -> int:
+    import jax
+    import numpy as np
+
+    from dorado_tpu.alignment.index import read_fasta
+    from dorado_tpu.secondary.model import gru_forward, init_gru_params
+    from dorado_tpu.secondary.pileup import build_pileup
+    from dorado_tpu.secondary.variant import VcfWriter, call_variants
+
+    by_contig = _collect_alignments(args)
+    if by_contig is None:
+        return 1
+    if args.model_params:
+        print("> Custom model params loading shares the polish path", file=sys.stderr)
+    params = init_gru_params(jax.random.PRNGKey(0))
+    fn = jax.jit(gru_forward)
+
+    contigs = read_fasta(args.draft)
+    fh = sys.stdout if args.output == "-" else open(args.output, "w")
+    writer = VcfWriter(fh, [(n, len(s)) for n, s in contigs])
+    n_var = 0
+    for name, seq in contigs:
+        reads = by_contig.get(name, [])
+        for start in range(0, len(seq), args.window_len):
+            end = min(len(seq), start + args.window_len)
+            window_reads = [r for r in reads if r.ref_start < end]
+            pile = build_pileup(window_reads, start, end)
+            if pile.depth.max(initial=0.0) == 0:
+                continue
+            logits = np.asarray(fn(params, pile.counts[None]))[0]
+            covered = pile.depth > 0
+            for v in call_variants(
+                seq, name, logits[covered], pile.positions_major[covered],
+                pile.positions_minor[covered],
+            ):
+                writer.write(v)
+                n_var += 1
+    if args.output != "-":
+        fh.close()
+    print(f"> Called {n_var} variant(s)", file=sys.stderr)
+    return 0
+
+
+def _collect_alignments(args):
+    from dorado_tpu.io.bam_reader import read_records
+    from dorado_tpu.secondary.pileup import AlignedRead
+
+    if args.reads.endswith((".fastq", ".fq")):
+        from dorado_tpu.alignment import Mapper, ReferenceIndex
+        from dorado_tpu.utils import reverse_complement
+
+        index = ReferenceIndex.build(args.draft)
+        mapper = Mapper(index)
+        by_contig: dict[str, list[AlignedRead]] = {}
+        for rec in _read_fastq(args.reads):
+            for a in mapper.map(rec.seq):
+                seq = reverse_complement(rec.seq) if a.is_reverse else rec.seq
+                by_contig.setdefault(a.ref_name, []).append(
+                    AlignedRead(a.ref_start, a.cigar, seq, a.is_reverse)
+                )
+        return by_contig
+    _, records = read_records(args.reads)
+    by_contig = {}
+    for rec in records:
+        if rec.flag & 4 or rec.rname == "*" or rec.cigar == "*":
+            continue
+        by_contig.setdefault(rec.rname, []).append(
+            AlignedRead(rec.pos - 1, rec.cigar, rec.seq, bool(rec.flag & 16))
+        )
+    return by_contig
+
+
 def _add_summary(sub: argparse._SubParsersAction) -> None:
     p = sub.add_parser("summary", help="Create sequencing summary from a BAM/SAM")
     p.add_argument("reads", help="Basecalled BAM or SAM file")
@@ -661,6 +743,7 @@ def main(argv: list[str] | None = None) -> int:
     _add_trim(sub)
     _add_aligner(sub)
     _add_polish(sub)
+    _add_variant(sub)
     args = parser.parse_args(argv)
     return args.func(args)
 
