@@ -33,6 +33,9 @@ ITERS = 10
 
 
 def main() -> None:
+    from dorado_tpu.utils.jax_setup import enable_compilation_cache
+
+    enable_compilation_cache()
     from dorado_tpu.models.crf_model import init_lstm_crf_params, make_crf_forward_fn
     from dorado_tpu.models.presets import hac_v43_config
 

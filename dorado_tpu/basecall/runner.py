@@ -100,7 +100,7 @@ class BasecallRunner:
         batch_size: int | None = None,
         decoder: str = "beam",
         compute_dtype=jnp.float32,
-        use_pallas: bool = False,
+        use_pallas: bool | None = None,
     ):
         self.config = config
         self.chunk_size = int(chunk_size or config.basecaller.chunk_size)
@@ -120,6 +120,9 @@ class BasecallRunner:
             q_shift=config.qbias,
             q_scale=config.qscale,
         )
+        if use_pallas is None:
+            # the fused Pallas LSTM scan is the fast path on real TPUs
+            use_pallas = jax.default_backend() == "tpu" and config.is_lstm_model
         self.stats = RunnerStats()
         self._pool = None
         self.params = jax.tree_util.tree_map(
@@ -177,7 +180,9 @@ class BasecallRunner:
             qual = jnp.where(
                 jax.nn.one_hot(base, 4, dtype=bool), block_prob[..., None], qual
             )
-            return qual
+            # bf16 halves the device->host transfer; probabilities only feed
+            # the phred calc, well within bf16 precision
+            return qual.astype(jnp.bfloat16)
 
         @jax.jit
         def device_viterbi(p, sig):
@@ -252,6 +257,15 @@ class BasecallRunner:
         out, num_chunks = handle
         return self._decode(out, num_chunks)
 
+    def _pool_map(self, fn, n):
+        if n > 1:
+            from concurrent.futures import ThreadPoolExecutor
+
+            if self._pool is None:
+                self._pool = ThreadPoolExecutor(max_workers=min(16, os.cpu_count() or 4))
+            return list(self._pool.map(fn, range(n)))
+        return [fn(i) for i in range(n)]
+
     def call_chunks(self, buffer: np.ndarray, num_chunks: int) -> list[DecodedChunk]:
         """Run the device program and materialise per-chunk calls."""
         return self.finish(self.dispatch(buffer, num_chunks))
@@ -259,15 +273,15 @@ class BasecallRunner:
     def _decode(self, out, num_chunks: int) -> list[DecodedChunk]:
         if self.decoder == "viterbi":
             states, moves, qual = (np.asarray(o) for o in out)
-            results = []
-            for i in range(num_chunks):
+            qual = qual.astype(np.float32)
+
+            def materialise(i: int) -> DecodedChunk:
                 seq, qstring = generate_sequence(
                     moves[i], states[i], qual[i], self.options.q_shift, self.options.q_scale
                 )
-                results.append(
-                    DecodedChunk(sequence=seq, qstring=qstring, moves=moves[i])
-                )
-            return results
+                return DecodedChunk(sequence=seq, qstring=qstring, moves=moves[i])
+
+            return self._pool_map(materialise, num_chunks)
 
         scores, back_guides, posts = (np.asarray(o) for o in out)
 
@@ -289,10 +303,4 @@ class BasecallRunner:
             )
             return DecodedChunk(sequence=seq, qstring=qstring, moves=moves)
 
-        if num_chunks > 1:
-            from concurrent.futures import ThreadPoolExecutor
-
-            if self._pool is None:
-                self._pool = ThreadPoolExecutor(max_workers=min(16, os.cpu_count() or 4))
-            return list(self._pool.map(decode_one, range(num_chunks)))
-        return [decode_one(i) for i in range(num_chunks)]
+        return self._pool_map(decode_one, num_chunks)

@@ -76,7 +76,7 @@ class BasecallerPipeline:
         decoder: str = "beam",
         emit_moves: bool = False,
         compute_dtype=None,
-        use_pallas: bool = False,
+        use_pallas: bool | None = None,
         modbase_caller=None,
         modbase_threshold: float = 0.05,
         barcode_classifier=None,
@@ -109,6 +109,13 @@ class BasecallerPipeline:
         self.barcode_classifier = barcode_classifier
         self.barcode_both_ends = barcode_both_ends
         self.read_splitter = None
+        self.rna_splitter = None
+        if split_reads and config.is_rna_model:
+            from dorado_tpu.splitter import RNAReadSplitter
+
+            # RNA reads split in signal space BEFORE scaling/basecalling
+            # (pipeline_creation.cpp:56-63 prepends the RNA ReadSplitNode)
+            self.rna_splitter = RNAReadSplitter()
         if split_reads and not config.is_rna_model:
             from dorado_tpu.splitter import DuplexReadSplitter, DuplexSplitSettings
 
@@ -233,6 +240,24 @@ class BasecallerPipeline:
     def _feed_read(self, read: Pod5Read, flush_cb) -> None:
         if read.read_id in self.skip_read_ids:
             return
+        if self.rna_splitter is not None:
+            ranges = self.rna_splitter.split(read.signal)
+            if len(ranges) > 1:
+                import dataclasses
+
+                for i, (s, e) in enumerate(ranges):
+                    sub = dataclasses.replace(
+                        read,
+                        read_id=f"{read.read_id}:{i}",
+                        signal=read.signal[s:e],
+                        read_number=-1,
+                        start_sample=read.start_sample + s,
+                    )
+                    self._feed_single(sub, flush_cb)
+                return
+        self._feed_single(read, flush_cb)
+
+    def _feed_single(self, read: Pod5Read, flush_cb) -> None:
         scaled, trimmed, shift_pa, scale_pa, method = self._scale_and_trim(read)
         if len(scaled) == 0:
             return
