@@ -184,6 +184,51 @@ class BasecallRunner:
             # the phred calc, well within bf16 precision
             return qual.astype(jnp.bfloat16)
 
+        q_shift = float(self.options.q_shift)
+        q_scale = float(self.options.q_scale)
+        alphabet = jnp.asarray(np.frombuffer(b"ACGT", np.uint8))
+
+        def device_sequence(states_nt, moves_nt, qual):
+            """Full sequence/qstring materialisation on device (the role of
+            Koi's host_run_decode byte outputs, CUDADecoder.cpp:100-113):
+            compacted ASCII bases + phred chars + bit-packed moves leave the
+            chip — ~10x less transfer than states/posteriors."""
+            n, t = states_nt.shape
+            bases = (states_nt & 3).astype(jnp.int32)
+            moves_i = moves_nt.astype(jnp.int32)
+            seq_pos = jnp.clip(jnp.cumsum(moves_i, axis=1) - 1, 0, None)
+
+            qual_f = qual.astype(jnp.float32)
+            base_prob_blk = jnp.take_along_axis(qual_f, bases[..., None], axis=2)[..., 0]
+            total_blk = qual_f.sum(axis=-1)
+
+            def seg(vals, pos):
+                return jax.ops.segment_sum(vals, pos, num_segments=t)
+
+            base_probs = jax.vmap(seg)(base_prob_blk, seq_pos)
+            total_probs = jax.vmap(seg)(total_blk, seq_pos)
+
+            err = 1.0 - base_probs / jnp.maximum(total_probs, 1e-30)
+            phred = -10.0 * jnp.log10(jnp.maximum(err, 1e-30))
+            qscore = jnp.clip(phred * q_scale + q_shift, 1.0, 50.0)
+            qchar = (33.5 + qscore).astype(jnp.uint8)
+
+            # scatter emitted bases to their sequence positions (stays -> drop)
+            emit_pos = jnp.where(moves_i == 1, seq_pos, t)
+            seq_chars = jnp.zeros((n, t), jnp.uint8)
+            seq_chars = jax.vmap(
+                lambda sc, pos, b: sc.at[pos].set(alphabet[b], mode="drop")
+            )(seq_chars, emit_pos, bases)
+
+            lengths = moves_i.sum(axis=1).astype(jnp.int32)
+            # bit-pack the move table
+            pad = (-t) % 8
+            mv = jnp.pad(moves_nt.astype(jnp.uint8), ((0, 0), (0, pad)))
+            mv = mv.reshape(n, -1, 8)
+            weights = (1 << jnp.arange(8, dtype=jnp.uint8)).astype(jnp.uint8)
+            mv_packed = (mv * weights).sum(axis=-1).astype(jnp.uint8)
+            return seq_chars, qchar, mv_packed, lengths
+
         @jax.jit
         def device_viterbi(p, sig):
             scores = fwd(p, sig)  # [N, T_out, C] f32
@@ -193,8 +238,9 @@ class BasecallRunner:
             posts = jax.nn.softmax(alpha + beta, axis=-1)
             states, moves = viterbi_path(scores_tnc, blank)
             states_nt = jnp.swapaxes(states, 0, 1)
+            moves_nt = jnp.swapaxes(moves, 0, 1)
             qual = device_qual(states_nt, jnp.swapaxes(posts, 0, 1))
-            return states_nt, jnp.swapaxes(moves, 0, 1), qual
+            return device_sequence(states_nt, moves_nt, qual)
 
         @jax.jit
         def device_beam(p, sig):
@@ -272,14 +318,17 @@ class BasecallRunner:
 
     def _decode(self, out, num_chunks: int) -> list[DecodedChunk]:
         if self.decoder == "viterbi":
-            states, moves, qual = (np.asarray(o) for o in out)
-            qual = qual.astype(np.float32)
+            seq_chars, qchars, mv_packed, lengths = (np.asarray(o) for o in out)
+            t_len = seq_chars.shape[1]
+            moves_all = np.unpackbits(
+                mv_packed, axis=1, bitorder="little", count=t_len
+            )
 
             def materialise(i: int) -> DecodedChunk:
-                seq, qstring = generate_sequence(
-                    moves[i], states[i], qual[i], self.options.q_shift, self.options.q_scale
-                )
-                return DecodedChunk(sequence=seq, qstring=qstring, moves=moves[i])
+                n_bases = int(lengths[i])
+                seq = seq_chars[i, :n_bases].tobytes().decode()
+                qstring = qchars[i, :n_bases].tobytes().decode()
+                return DecodedChunk(sequence=seq, qstring=qstring, moves=moves_all[i])
 
             return self._pool_map(materialise, num_chunks)
 
