@@ -269,12 +269,14 @@ class BasecallRunner:
         return 0
 
     def make_input_buffer(self, lane: int = 0) -> np.ndarray:
+        # float16 halves the host->device transfer; the reference feeds f16
+        # signal too (ScalerNode.cpp:227-229)
         size = self.chunk_sizes[lane]
         if self.config.num_features > 1:
             return np.zeros(
-                (self.batch_size, size, self.config.num_features), dtype=np.float32
+                (self.batch_size, size, self.config.num_features), dtype=np.float16
             )
-        return np.zeros((self.batch_size, size), dtype=np.float32)
+        return np.zeros((self.batch_size, size), dtype=np.float16)
 
     def accept_chunk(self, buffer: np.ndarray, idx: int, signal: np.ndarray) -> None:
         """Copy one (possibly short) chunk into the batch, repeat-padding to
