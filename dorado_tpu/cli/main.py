@@ -251,7 +251,12 @@ def _add_duplex(sub: argparse._SubParsersAction) -> None:
     p = sub.add_parser("duplex", help="Run duplex basecalling")
     p.add_argument("model", help="Simplex model directory")
     p.add_argument("data", help="POD5 file or directory")
-    p.add_argument("--stereo-model", required=True, help="Stereo model directory")
+    p.add_argument(
+        "--stereo-model",
+        default=None,
+        help="Stereo model directory (required unless model is 'basespace')",
+    )
+    p.add_argument("--pairs", default=None, help="Pairs file for basespace mode")
     p.add_argument("-r", "--recursive", action="store_true")
     p.add_argument("-o", "--output", default="-")
     p.add_argument("--emit-sam", action="store_true")
@@ -262,12 +267,17 @@ def _add_duplex(sub: argparse._SubParsersAction) -> None:
 
 
 def _run_duplex(args: argparse.Namespace) -> int:
+    if args.model == "basespace":
+        return _run_basespace_duplex(args)
     from dorado_tpu.duplex.pipeline import DuplexPipeline
     from dorado_tpu.io.pod5 import find_pod5_files
     from dorado_tpu.io.sam import BamWriter, SamWriter
     from dorado_tpu.models.load import load_model
     from dorado_tpu.pipeline.basecaller import BasecallerPipeline
 
+    if not args.stereo_model:
+        print("> stereo duplex requires --stereo-model", file=sys.stderr)
+        return 1
     config, params = load_model(args.model)
     stereo_config, stereo_params = load_model(args.stereo_model)
     pipeline = DuplexPipeline(
@@ -303,6 +313,64 @@ def _run_duplex(args: argparse.Namespace) -> int:
     if stats.simplex_reads:
         rate = 200.0 * stats.duplex_reads / stats.simplex_reads
         print(f"> Duplex rate: {rate:.2f}%", file=sys.stderr)
+    return 0
+
+
+def _run_basespace_duplex(args: argparse.Namespace) -> int:
+    """Duplex consensus from basecalled reads + a pairs file
+    (cli_lib/duplex.cpp:431-456 basespace mode)."""
+    from dorado_tpu.duplex.basespace import basespace_duplex_call
+    from dorado_tpu.io.bam_reader import read_records
+    from dorado_tpu.io.sam import BamWriter, SamHeader, SamRecord, SamTag, SamWriter
+    from dorado_tpu.utils import mean_qscore_from_qstring
+
+    if not args.pairs:
+        print("> basespace mode requires --pairs", file=sys.stderr)
+        return 1
+    _, records = read_records(args.data)
+    by_id = {r.qname: r for r in records}
+    pairs = []
+    with open(args.pairs) as fh:
+        for line in fh:
+            parts = line.split()
+            if len(parts) >= 2:
+                pairs.append((parts[0], parts[1]))
+
+    out_is_stdout = args.output == "-"
+    header = SamHeader()
+    if args.emit_sam:
+        fh = sys.stdout if out_is_stdout else open(args.output, "w")
+        writer = SamWriter(fh, header)
+    else:
+        fh = sys.stdout.buffer if out_is_stdout else open(args.output, "wb")
+        writer = BamWriter(fh, header)
+
+    n = 0
+    for t_id, c_id in pairs:
+        t = by_id.get(t_id)
+        c = by_id.get(c_id)
+        if t is None or c is None:
+            continue
+        result = basespace_duplex_call(t.seq, t.qual, c.seq, c.qual)
+        if result is None:
+            continue
+        seq, qstring = result
+        writer.write(
+            SamRecord(
+                qname=f"{t_id};{c_id}",
+                seq=seq,
+                qual=qstring,
+                tags=[
+                    SamTag("qs", "f", mean_qscore_from_qstring(qstring)),
+                    SamTag("dx", "i", 1),
+                ],
+            )
+        )
+        n += 1
+    writer.close()
+    if not out_is_stdout:
+        fh.close()
+    print(f"> Duplex reads basecalled: {n}", file=sys.stderr)
     return 0
 
 
