@@ -88,10 +88,11 @@ def _chain(q_pos: np.ndarray, r_pos: np.ndarray, k: int, max_gap: int = 5000,
 
 class Mapper:
     def __init__(self, index: ReferenceIndex, min_chain_anchors: int = 3,
-                 min_chain_score: int = 40):
+                 min_chain_score: int = 40, max_alignments: int = 1):
         self.index = index
         self.min_chain_anchors = min_chain_anchors
         self.min_chain_score = min_chain_score
+        self.max_alignments = max_alignments
 
     def map(self, query: str) -> list[Alignment]:
         idx = self.index
@@ -136,7 +137,9 @@ class Mapper:
         results = []
         best_score = candidates[0][0]
         second_score = candidates[1][0] if len(candidates) > 1 else 0
-        for rank, (score, sid, strand, chain) in enumerate(candidates[:1]):
+        for rank, (score, sid, strand, chain) in enumerate(
+            candidates[: self.max_alignments]
+        ):
             q_lo = int(chain[0, 0])
             q_hi = int(chain[-1, 0]) + idx.k
             r_lo = int(chain[0, 1])

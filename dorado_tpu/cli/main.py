@@ -765,6 +765,37 @@ def _collect_alignments(args):
     return by_contig
 
 
+def _add_correct(sub: argparse._SubParsersAction) -> None:
+    p = sub.add_parser("correct", help="Error-correct reads via all-vs-all consensus")
+    p.add_argument("reads", help="FASTQ of reads")
+    p.add_argument("-o", "--output", default="-")
+    p.add_argument("--min-depth", type=int, default=2)
+    p.set_defaults(func=_run_correct)
+
+
+def _run_correct(args: argparse.Namespace) -> int:
+    from dorado_tpu.correct import ReadCorrector
+
+    records = _read_fastq(args.reads)
+    reads = [(r.qname, r.seq) for r in records]
+    corrector = ReadCorrector(min_depth=args.min_depth)
+    corrected = corrector.correct(reads)
+
+    fh = sys.stdout if args.output == "-" else open(args.output, "w")
+    for name, seq in corrected:
+        fh.write(f">{name}\n")
+        for i in range(0, len(seq), 80):
+            fh.write(seq[i : i + 80] + "\n")
+    if args.output != "-":
+        fh.close()
+    print(
+        f"> Corrected {corrector.stats.reads_corrected}/{corrector.stats.reads_total} "
+        f"reads ({corrector.stats.overlaps} overlaps)",
+        file=sys.stderr,
+    )
+    return 0
+
+
 def _add_summary(sub: argparse._SubParsersAction) -> None:
     p = sub.add_parser("summary", help="Create sequencing summary from a BAM/SAM")
     p.add_argument("reads", help="Basecalled BAM or SAM file")
@@ -812,6 +843,7 @@ def main(argv: list[str] | None = None) -> int:
     _add_aligner(sub)
     _add_polish(sub)
     _add_variant(sub)
+    _add_correct(sub)
     args = parser.parse_args(argv)
     return args.func(args)
 

@@ -1,0 +1,92 @@
+"""Read error correction (the role of `dorado correct`,
+dorado/cli/cli_lib/correct.cpp + dorado/correct/).
+
+Round-1 scope: the all-vs-all overlap + per-read consensus machinery. The
+reference runs a HERRO TorchScript transformer over alignment-feature
+windows (CorrectionInferenceNode.cpp:186-247); here the consensus step is a
+depth-weighted pileup vote over the same overlap structure — the NN scorer
+plugs into the consensus step when trained weights are available.
+
+Overlaps come from the built-in minimizer mapper (the reference uses
+minimap2 all-vs-all, correct.cpp:439).
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+
+import numpy as np
+
+from dorado_tpu.alignment import Mapper, ReferenceIndex
+from dorado_tpu.secondary.pileup import AlignedRead, build_pileup
+from dorado_tpu.utils import reverse_complement
+
+
+@dataclass
+class CorrectStats:
+    reads_total: int = 0
+    reads_corrected: int = 0
+    overlaps: int = 0
+
+
+class ReadCorrector:
+    def __init__(self, min_depth: int = 2, min_overlap_reads: int = 2,
+                 max_overlaps_per_read: int = 20):
+        self.min_depth = min_depth
+        self.min_overlap_reads = min_overlap_reads
+        self.max_overlaps_per_read = max_overlaps_per_read
+        self.stats = CorrectStats()
+
+    def correct(self, reads: list[tuple[str, str]]) -> list[tuple[str, str]]:
+        """[(name, seq)] -> [(name, corrected seq)] via all-vs-all overlap
+        consensus."""
+        index = ReferenceIndex.build([(n, s) for n, s in reads])
+        mapper = Mapper(index, max_alignments=self.max_overlaps_per_read)
+
+        # all-vs-all: map every read against the read index
+        overlaps: dict[str, list[AlignedRead]] = {n: [] for n, _ in reads}
+        for name, seq in reads:
+            for a in mapper.map(seq):
+                if a.ref_name == name:
+                    continue  # self-hit
+                oriented = reverse_complement(seq) if a.is_reverse else seq
+                overlaps[a.ref_name].append(
+                    AlignedRead(a.ref_start, a.cigar, oriented, a.is_reverse)
+                )
+                self.stats.overlaps += 1
+
+        out = []
+        for name, seq in reads:
+            self.stats.reads_total += 1
+            ovl = overlaps[name]
+            if len(ovl) < self.min_overlap_reads:
+                out.append((name, seq))  # insufficient coverage: unchanged
+                continue
+            corrected = self._consensus(seq, ovl)
+            self.stats.reads_corrected += 1
+            out.append((name, corrected))
+        return out
+
+    def _consensus(self, target: str, ovl: list[AlignedRead]) -> str:
+        """Pileup majority vote; target base wins below min_depth."""
+        pile = build_pileup(ovl, 0, len(target), normalise=False)
+        counts = pile.counts
+        # combine strands: A/C/G/T totals and deletions
+        base_counts = counts[:, 0:4] + counts[:, 4:8]
+        del_counts = counts[:, 8] + counts[:, 9]
+        stacked = np.concatenate([del_counts[:, None], base_counts], axis=1)  # [*,A,C,G,T]
+        best = stacked.argmax(axis=1)
+        depth = stacked.sum(axis=1)
+
+        out = []
+        for i in range(len(best)):
+            is_minor = pile.positions_minor[i] > 0
+            if depth[i] < self.min_depth:
+                if not is_minor:
+                    out.append(target[pile.positions_major[i]])
+                continue
+            c = int(best[i])
+            if c == 0:
+                continue  # deletion wins
+            out.append("*ACGT"[c])
+        return "".join(out)
