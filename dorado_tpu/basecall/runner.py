@@ -101,6 +101,7 @@ class BasecallRunner:
         decoder: str = "beam",
         compute_dtype=jnp.float32,
         use_pallas: bool | None = None,
+        mesh=None,
     ):
         self.config = config
         self.chunk_size = int(chunk_size or config.basecaller.chunk_size)
@@ -123,6 +124,19 @@ class BasecallRunner:
         if use_pallas is None:
             # the fused Pallas LSTM scan is the fast path on real TPUs
             use_pallas = jax.default_backend() == "tpu" and config.is_lstm_model
+        # multi-chip: shard the chunk batch over a data-parallel mesh
+        # (chunks are independent -> linear scaling, no hot-loop collectives;
+        # SURVEY §2.4's TPU-native answer to dorado's per-GPU runners)
+        if mesh is None and len(jax.devices()) > 1:
+            from jax.sharding import Mesh
+
+            devices = np.asarray(jax.devices())
+            mesh = Mesh(devices.reshape(len(devices), 1), axis_names=("data", "model"))
+        self.mesh = mesh
+        if mesh is not None:
+            n_data = mesh.shape["data"]
+            # round the batch up to a multiple of the data axis
+            self.batch_size = -(-self.batch_size // n_data) * n_data
         self.stats = RunnerStats()
         self._pool = None
         self.params = jax.tree_util.tree_map(
@@ -255,7 +269,18 @@ class BasecallRunner:
                 jnp.swapaxes(posts, 0, 1),
             )
 
-        self._device_fn = device_viterbi if decoder == "viterbi" else device_beam
+        base_fn = device_viterbi if decoder == "viterbi" else device_beam
+        if mesh is not None:
+            from jax.sharding import NamedSharding, PartitionSpec as P
+
+            batch_sharding = NamedSharding(mesh, P("data"))
+            replicated = NamedSharding(mesh, P())
+            self.params = jax.device_put(self.params, replicated)
+            self._device_fn = jax.jit(
+                base_fn, in_shardings=(None, batch_sharding)
+            )
+        else:
+            self._device_fn = base_fn
 
     @property
     def t_out(self) -> int:
