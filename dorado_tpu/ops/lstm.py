@@ -122,3 +122,100 @@ def lstm_scan_pallas(xproj: jnp.ndarray, w_hh: jnp.ndarray) -> jnp.ndarray:
     xt = jnp.swapaxes(xproj, 0, 1)
     out = lstm_scan_time_major(xt.astype(w_hh.dtype), w_hh.T.astype(w_hh.dtype))
     return jnp.swapaxes(out, 0, 1)
+
+
+def _lstm_fused_kernel(
+    x_ref, wih_ref, whh_ref, bias_ref, out_ref, h_ref, c_ref, *, bt: int, reverse: bool
+):
+    """Fused variant: the input projection runs inside the kernel, so only
+    the H-wide activations stream from HBM instead of the 4H-wide
+    pre-projected gates.
+
+    Measured on v5e at hac shapes this is ~6% SLOWER than the split design
+    (7.9 vs 7.4 ms/layer): the stack is compute-bound and the hoisted
+    time-parallel xproj einsum uses the MXU better than per-step projection.
+    Kept for HBM-bound configurations (very large batch or narrow layers)."""
+    t_idx = pl.program_id(1)
+
+    @pl.when(t_idx == 0)
+    def _():
+        h_ref[:] = jnp.zeros_like(h_ref)
+        c_ref[:] = jnp.zeros_like(c_ref)
+
+    hidden = h_ref.shape[-1]
+
+    def step(i, _):
+        j = (bt - 1 - i) if reverse else i
+        h = h_ref[:]
+        gates = (
+            jnp.dot(x_ref[j], wih_ref[:], preferred_element_type=jnp.float32)
+            + jnp.dot(h, whh_ref[:], preferred_element_type=jnp.float32)
+            + bias_ref[:]
+        )
+        ig = jax.nn.sigmoid(gates[:, :hidden])
+        fg = jax.nn.sigmoid(gates[:, hidden : 2 * hidden])
+        gg = jnp.tanh(gates[:, 2 * hidden : 3 * hidden])
+        og = jax.nn.sigmoid(gates[:, 3 * hidden :])
+        c = fg * c_ref[:] + ig * gg
+        h_new = og * jnp.tanh(c)
+        c_ref[:] = c
+        h_ref[:] = h_new.astype(h_ref.dtype)
+        out_ref[j] = h_new.astype(out_ref.dtype)
+        return ()
+
+    jax.lax.fori_loop(0, bt, step, (), unroll=True)
+
+
+@functools.partial(
+    jax.jit, static_argnames=("reverse", "block_n", "block_t", "interpret")
+)
+def lstm_fused_time_major(
+    x: jnp.ndarray,
+    w_ih_t: jnp.ndarray,
+    w_hh_t: jnp.ndarray,
+    bias: jnp.ndarray,
+    reverse: bool = False,
+    block_n: int = 128,
+    block_t: int = 16,
+    interpret: bool | None = None,
+) -> jnp.ndarray:
+    """[T, N, H] activations + [H, 4H] weights + [4H] bias -> [T, N, H]."""
+    t_len, n, hidden = x.shape
+    g4 = 4 * hidden
+    if interpret is None:
+        interpret = jax.default_backend() == "cpu"
+    block_n = min(block_n, n)
+    while n % block_n:
+        block_n //= 2
+    block_t = min(block_t, t_len)
+    while t_len % block_t:
+        block_t //= 2
+    n_tiles = n // block_n
+    t_tiles = t_len // block_t
+
+    def t_map(b, t):
+        return ((t_tiles - 1 - t) if reverse else t, b, 0)
+
+    kernel = functools.partial(_lstm_fused_kernel, bt=block_t, reverse=reverse)
+    return pl.pallas_call(
+        kernel,
+        grid=(n_tiles, t_tiles),
+        in_specs=[
+            pl.BlockSpec((block_t, block_n, hidden), t_map, memory_space=pltpu.VMEM),
+            pl.BlockSpec((hidden, g4), lambda b, t: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((hidden, g4), lambda b, t: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, g4), lambda b, t: (0, 0), memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec(
+            (block_t, block_n, hidden), t_map, memory_space=pltpu.VMEM
+        ),
+        out_shape=jax.ShapeDtypeStruct((t_len, n, hidden), x.dtype),
+        scratch_shapes=[
+            pltpu.VMEM((block_n, hidden), x.dtype),
+            pltpu.VMEM((block_n, hidden), jnp.float32),
+        ],
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("arbitrary", "arbitrary"),
+        ),
+        interpret=interpret,
+    )(x, w_ih_t, w_hh_t, bias.reshape(1, -1))
