@@ -92,12 +92,39 @@ def _run_basecaller(args: argparse.Namespace) -> int:
             is_rna=config.is_rna_model,
         )
     elif args.modified_bases:
-        print(
-            "> --modified-bases requires downloadable models; use "
-            "--modified-bases-models with local model directories instead",
-            file=sys.stderr,
+        # resolve mod variants against the registry, matching the chosen
+        # simplex model (models/model_complex.cpp variant grammar)
+        from pathlib import Path as P
+
+        from dorado_tpu.modbase.caller import ModBaseCaller
+        from dorado_tpu.modbase.config import load_modbase_config
+        from dorado_tpu.models.downloader import download_model_info
+        from dorado_tpu.models.registry import get_model_info, resolve_mods_models
+
+        simplex_info = get_model_info(model_dir.name)
+        if simplex_info is None:
+            print(
+                f"> Cannot resolve --modified-bases against unknown simplex "
+                f"model {model_dir.name!r}; use --modified-bases-models",
+                file=sys.stderr,
+            )
+            return 1
+        mods = resolve_mods_models(simplex_info, [(m, None) for m in args.modified_bases])
+        mod_cfgs = []
+        for info in mods:
+            local = P(args.models_directory) / info.name
+            if not local.is_dir():
+                try:
+                    local = download_model_info(info, P(args.models_directory))
+                except RuntimeError as e:
+                    print(f"> {e}", file=sys.stderr)
+                    return 1
+            mod_cfgs.append(load_modbase_config(local))
+        modbase_caller = ModBaseCaller(
+            mod_cfgs,
+            canonical_stride=config.stride,
+            is_rna=config.is_rna_model,
         )
-        return 1
 
     # --resume-from: replay completed records and skip their read ids
     # (resume_loader/ResumeLoader.cpp:16-60)
@@ -561,12 +588,14 @@ def _run_aligner(args: argparse.Namespace) -> int:
         writer = BamWriter(fh, header)
 
     n_mapped = 0
+    ref_order = {name: i for i, name in enumerate(index.names)}
+    aligned, unmapped = [], []
     for rec in records:
         seq = rec.seq if rec.seq != "*" else ""
         alns = mapper.map(seq) if seq else []
         if not alns:
             rec.flag |= 4
-            writer.write(rec)
+            unmapped.append(rec)
             continue
         a = alns[0]
         n_mapped += 1
@@ -582,6 +611,11 @@ def _run_aligner(args: argparse.Namespace) -> int:
         rec.tags = [t for t in rec.tags if t.tag not in ("NM", "AS")]
         rec.tags.append(SamTag("NM", "i", a.nm))
         rec.tags.append(SamTag("AS", "i", a.score))
+        aligned.append(rec)
+    # coordinate-sorted output (hts_file.h sorted-BAM mode)
+    aligned.sort(key=lambda r: (ref_order.get(r.rname, 1 << 30), r.pos))
+    header.sort_order = "coordinate"
+    for rec in aligned + unmapped:
         writer.write(rec)
     writer.close()
     if not out_is_stdout:

@@ -363,15 +363,21 @@ class BasecallerPipeline:
             rec = self._make_record(wr, s_seq, s_q, s_moves)
             if len(parts) > 1:
                 # split subreads: derived id, pi parent tag, sp split point,
-                # rn=-1 (messages.cpp:95-108, splitter subread semantics)
+                # rn=-1, sample counts reflect the subread signal
+                # (messages.cpp:95-108, splitter subread semantics)
                 rec.qname = f"{wr.read.read_id}:{i}"
                 rec.tags.append(SamTag("pi", "Z", wr.read.read_id))
                 rec.tags.append(SamTag("sp", "i", int(split_point or 0)))
+                sample_rate = wr.read.run_info.sample_rate or self.config.sample_rate
                 for t in rec.tags:
                     if t.tag == "rn":
                         t.value = -1
-                    elif t.tag in ("ns", "du"):
-                        pass
+                    elif t.tag == "ns":
+                        t.value = len(s_signal)
+                    elif t.tag == "ts":
+                        t.value = 0
+                    elif t.tag == "du":
+                        t.value = len(s_signal) / float(max(1, sample_rate))
             if self.modbase_caller is not None and len(s_seq):
                 self._add_modbase_tags(rec, s_seq, s_moves, s_signal)
             if self.barcode_classifier is not None and len(s_seq):
