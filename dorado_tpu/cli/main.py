@@ -573,7 +573,7 @@ def _run_aligner(args: argparse.Namespace) -> int:
         _, records = read_records(args.reads)
 
     header = SamHeader()
-    header.sort_order = "unsorted"
+    header.sort_order = "coordinate"
     header.references = list(zip(index.names, index.lengths))
     header.programs.append(
         {"ID": "aligner", "PN": "dorado_tpu", "CL": " ".join(sys.argv)}
@@ -614,7 +614,6 @@ def _run_aligner(args: argparse.Namespace) -> int:
         aligned.append(rec)
     # coordinate-sorted output (hts_file.h sorted-BAM mode)
     aligned.sort(key=lambda r: (ref_order.get(r.rname, 1 << 30), r.pos))
-    header.sort_order = "coordinate"
     for rec in aligned + unmapped:
         writer.write(rec)
     writer.close()
