@@ -1,0 +1,206 @@
+"""CLI surface tests: every subcommand driven end-to-end via subprocess on
+tiny inputs (the reference's shell-integration tier,
+tests/test_simple_basecaller_execution.sh analogue)."""
+
+import os
+import shutil
+import subprocess
+import sys
+from pathlib import Path
+
+import numpy as np
+import pytest
+
+REPO = Path(__file__).resolve().parent.parent
+REF_CONFIGS = Path("/root/reference/tests/data/model_configs")
+FAST = "dna_r10.4.1_e8.2_260bps_fast@v4.0.0"
+POD5_DIR = Path("/root/reference/tests/data/pod5/dna_r10.4.1_e8.2_400bps_5khz")
+
+
+def run_cli(*args, timeout=400):
+    env = {**os.environ, "JAX_PLATFORMS": "cpu", "PYTHONPATH": str(REPO)}
+    return subprocess.run(
+        [sys.executable, "-m", "dorado_tpu", *args],
+        capture_output=True,
+        text=True,
+        timeout=timeout,
+        cwd=REPO,
+        env=env,
+    )
+
+
+@pytest.fixture(scope="module")
+def model_dir(tmp_path_factory):
+    import jax
+
+    from dorado_tpu.config import load_model_config
+    from dorado_tpu.models.crf_model import init_lstm_crf_params
+    from dorado_tpu.models.load import save_lstm_params
+
+    d = tmp_path_factory.mktemp("cli_model") / FAST
+    d.mkdir()
+    shutil.copy(REF_CONFIGS / FAST / "config.toml", d / "config.toml")
+    cfg = load_model_config(d)
+    save_lstm_params(cfg, init_lstm_crf_params(cfg, jax.random.PRNGKey(0)), d)
+    return d
+
+
+@pytest.fixture(scope="module")
+def basecalled_bam(model_dir, tmp_path_factory):
+    out = tmp_path_factory.mktemp("cli_out") / "calls.bam"
+    r = run_cli(
+        "basecaller", str(model_dir), str(POD5_DIR),
+        "--decoder", "viterbi", "-b", "4", "-c", "4000", "--emit-moves",
+        "-o", str(out),
+    )
+    assert r.returncode == 0, r.stderr
+    return out
+
+
+@pytest.fixture(scope="module")
+def ref_and_reads(tmp_path_factory):
+    rng = np.random.RandomState(0)
+    d = tmp_path_factory.mktemp("cli_aln")
+    ref_seq = "".join(rng.choice(list("ACGT"), 20000))
+    ref = d / "ref.fasta"
+    with open(ref, "w") as f:
+        f.write(">ctg\n")
+        for i in range(0, len(ref_seq), 80):
+            f.write(ref_seq[i : i + 80] + "\n")
+    reads = d / "reads.fastq"
+    with open(reads, "w") as f:
+        for i in range(4):
+            s = rng.randint(0, 18000)
+            sub = ref_seq[s : s + 1200]
+            f.write(f"@r{i}\n{sub}\n+\n{'I' * len(sub)}\n")
+    return ref, reads
+
+
+class TestCliSurface:
+    def test_basecaller(self, basecalled_bam):
+        assert basecalled_bam.stat().st_size > 0
+
+    def test_summary(self, basecalled_bam):
+        r = run_cli("summary", str(basecalled_bam))
+        assert r.returncode == 0, r.stderr
+        lines = r.stdout.splitlines()
+        assert lines[0].startswith("input_filename")
+        assert len(lines) == 4  # header + 3 reads
+
+    def test_download_list(self):
+        r = run_cli("download", "--list")
+        assert r.returncode == 0
+        assert len(r.stdout.splitlines()) == 180
+
+    def test_aligner(self, ref_and_reads, tmp_path):
+        ref, reads = ref_and_reads
+        out = tmp_path / "aln.sam"
+        r = run_cli("aligner", str(ref), str(reads), "--emit-sam", "-o", str(out))
+        assert r.returncode == 0, r.stderr
+        assert "Mapped 4/4" in r.stderr
+        body = [l for l in out.read_text().splitlines() if not l.startswith("@")]
+        assert all(l.split("\t")[2] == "ctg" for l in body)
+
+    def test_trim(self, tmp_path):
+        from dorado_tpu.demux.adapters import ADAPTERS
+        from dorado_tpu.io.sam import BamWriter, SamHeader, SamRecord
+
+        rng = np.random.RandomState(1)
+        front, rear = ADAPTERS["LSK110"]
+        insert = "".join(rng.choice(list("ACGT"), 300))
+        seq = front + insert + rear
+        src = tmp_path / "in.bam"
+        with open(src, "wb") as fh:
+            w = BamWriter(fh, SamHeader())
+            w.write(SamRecord(qname="t", seq=seq, qual="I" * len(seq)))
+            w.close()
+        out = tmp_path / "trimmed.bam"
+        r = run_cli("trim", str(src), "--kit-name", "SQK-LSK114", "-o", str(out))
+        assert r.returncode == 0, r.stderr
+        from dorado_tpu.io.bam_reader import read_bam
+
+        assert read_bam(out).records[0].seq == insert
+
+    def test_demux(self, tmp_path):
+        from dorado_tpu.demux import get_barcode_sequence, get_kit_info
+        from dorado_tpu.io.sam import BamWriter, SamHeader, SamRecord
+        from dorado_tpu.utils import reverse_complement
+
+        rng = np.random.RandomState(2)
+        kit = "SQK-NBD114-24"
+        info = get_kit_info(kit)
+        bc = get_barcode_sequence("NB02")
+        ctx = info["top_front_flank"] + bc + info["top_rear_flank"]
+        read = "".join(rng.choice(list("ACGT"), 20)) + ctx + "".join(
+            rng.choice(list("ACGT"), 400)
+        ) + reverse_complement(ctx)
+        src = tmp_path / "in.bam"
+        with open(src, "wb") as fh:
+            w = BamWriter(fh, SamHeader())
+            w.write(SamRecord(qname="b", seq=read, qual="I" * len(read)))
+            w.close()
+        r = run_cli("demux", str(src), "--kit-name", kit, "--output-dir", str(tmp_path / "dx"))
+        assert r.returncode == 0, r.stderr
+        assert (tmp_path / "dx" / "NB24_barcode02.bam").exists()
+
+    def test_correct(self, tmp_path):
+        rng = np.random.RandomState(3)
+        truth = "".join(rng.choice(list("ACGT"), 2500))
+        src = tmp_path / "reads.fastq"
+        with open(src, "w") as f:
+            for i in range(6):
+                s = list(truth)
+                for p in rng.choice(len(truth), 10, replace=False):
+                    s[p] = rng.choice([b for b in "ACGT" if b != s[p]])
+                sj = "".join(s)
+                f.write(f"@r{i}\n{sj}\n+\n{'I' * len(sj)}\n")
+        r = run_cli("correct", str(src), "-o", str(tmp_path / "c.fasta"))
+        assert r.returncode == 0, r.stderr
+        assert "Corrected 6/6" in r.stderr
+
+    def test_polish(self, ref_and_reads, tmp_path):
+        ref, reads = ref_and_reads
+        r = run_cli(
+            "polish", str(reads), str(ref), "-o", str(tmp_path / "p.fasta"),
+            "--window-len", "8000",
+        )
+        assert r.returncode == 0, r.stderr
+        assert "Polished 1 contig(s)" in r.stderr
+
+    def test_variant(self, ref_and_reads, tmp_path):
+        ref, reads = ref_and_reads
+        r = run_cli("variant", str(reads), str(ref), "-o", str(tmp_path / "v.vcf"))
+        assert r.returncode == 0, r.stderr
+        assert (tmp_path / "v.vcf").read_text().startswith("##fileformat=VCFv4.1")
+
+    def test_duplex_basespace(self, tmp_path):
+        from dorado_tpu.io.sam import BamWriter, SamHeader, SamRecord
+        from dorado_tpu.utils import reverse_complement
+
+        rng = np.random.RandomState(4)
+        seq = "".join(rng.choice(list("ACGT"), 1500))
+        src = tmp_path / "in.bam"
+        with open(src, "wb") as fh:
+            w = BamWriter(fh, SamHeader())
+            w.write(SamRecord(qname="t", seq=seq, qual=chr(63) * 1500))
+            w.write(SamRecord(qname="c", seq=reverse_complement(seq), qual=chr(53) * 1500))
+            w.close()
+        pairs = tmp_path / "pairs.txt"
+        pairs.write_text("t c\n")
+        r = run_cli(
+            "duplex", "basespace", str(src), "--pairs", str(pairs),
+            "--emit-sam", "-o", str(tmp_path / "d.sam"),
+        )
+        assert r.returncode == 0, r.stderr
+        assert "Duplex reads basecalled: 1" in r.stderr
+
+    def test_resume(self, model_dir, basecalled_bam, tmp_path):
+        out = tmp_path / "resumed.bam"
+        r = run_cli(
+            "basecaller", str(model_dir), str(POD5_DIR),
+            "--decoder", "viterbi", "-b", "4", "-c", "4000",
+            "--resume-from", str(basecalled_bam), "-o", str(out),
+        )
+        assert r.returncode == 0, r.stderr
+        assert "Resuming: 3 reads" in r.stderr
+        assert "Reads basecalled: 0" in r.stderr
