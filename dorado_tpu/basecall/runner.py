@@ -10,7 +10,7 @@ shapes, so XLA fuses scan steps and keeps intermediates in VMEM.
 
 Host-side work mirrors the reference's decode part 2
 (dorado/basecall/decode/CUDADecoder.cpp:115): sequence/qstring
-materialisation, and in `beam` mode the reference beam search.
+materialisation, and batched on-device beam search (ops/beam.py).
 """
 
 from __future__ import annotations
@@ -88,7 +88,8 @@ class BasecallRunner:
 
     decoder:
       - "viterbi": exact best path, fully on device (fast path);
-      - "beam":    device scans + reference beam search on host
+      - "beam":    reference-algorithm beam search, fully on device
+      - "beam-host": device scans + exact C++ beam search on host (oracle)
                    (parity path, matches dorado's default decode).
     """
 
@@ -256,8 +257,30 @@ class BasecallRunner:
             qual = device_qual(states_nt, jnp.swapaxes(posts, 0, 1))
             return device_sequence(states_nt, moves_nt, qual)
 
+        beam_width = int(self.options.beam_width)
+        beam_cut = float(self.options.beam_cut)
+
         @jax.jit
         def device_beam(p, sig):
+            """Fully on-device beam decode (ops/beam.py batched beam search)
+            with byte outputs — the TPU answer to Koi's GPU beam kernels."""
+            from dorado_tpu.ops.beam import beam_search_device
+
+            scores = fwd(p, sig)
+            scores_tnc = jnp.swapaxes(scores, 0, 1)
+            alpha = forward_scores(scores_tnc, blank)
+            beta = backward_scores(scores_tnc, blank)
+            posts = jax.nn.softmax(alpha + beta, axis=-1)
+            states_nt, moves_nt = beam_search_device(
+                scores_tnc, beta, beam_width, beam_cut, blank
+            )
+            qual = device_qual(states_nt, jnp.swapaxes(posts, 0, 1))
+            return device_sequence(states_nt, moves_nt, qual)
+
+        @jax.jit
+        def device_beam_host(p, sig):
+            """Host-decode variant: ships scores/back-guides/posteriors for
+            the exact C++ oracle (large transfers; debugging/verification)."""
             scores = fwd(p, sig)
             scores_tnc = jnp.swapaxes(scores, 0, 1)
             alpha = forward_scores(scores_tnc, blank)
@@ -269,7 +292,11 @@ class BasecallRunner:
                 jnp.swapaxes(posts, 0, 1),
             )
 
-        base_fn = device_viterbi if decoder == "viterbi" else device_beam
+        base_fn = {
+            "viterbi": device_viterbi,
+            "beam": device_beam,
+            "beam-host": device_beam_host,
+        }[decoder]
         if mesh is not None:
             from jax.sharding import NamedSharding, PartitionSpec as P
 
@@ -344,7 +371,7 @@ class BasecallRunner:
         return self.finish(self.dispatch(buffer, num_chunks))
 
     def _decode(self, out, num_chunks: int) -> list[DecodedChunk]:
-        if self.decoder == "viterbi":
+        if self.decoder in ("viterbi", "beam"):
             seq_chars, qchars, mv_packed, lengths = (np.asarray(o) for o in out)
             t_len = seq_chars.shape[1]
             moves_all = np.unpackbits(

@@ -36,7 +36,7 @@ def _add_basecaller(sub: argparse._SubParsersAction) -> None:
     p.add_argument("--overlap", type=int, default=None)
     p.add_argument(
         "--decoder",
-        choices=["beam", "viterbi"],
+        choices=["beam", "viterbi", "beam-host"],
         default="beam",
         help="beam = reference-parity beam search; viterbi = fast exact path",
     )
@@ -289,7 +289,7 @@ def _add_duplex(sub: argparse._SubParsersAction) -> None:
     p.add_argument("--emit-sam", action="store_true")
     p.add_argument("-c", "--chunksize", type=int, default=None)
     p.add_argument("-b", "--batchsize", type=int, default=None)
-    p.add_argument("--decoder", choices=["beam", "viterbi"], default="beam")
+    p.add_argument("--decoder", choices=["beam", "viterbi", "beam-host"], default="beam")
     p.set_defaults(func=_run_duplex)
 
 

@@ -50,3 +50,29 @@ def test_device_matches_host_materialisation():
         if len(a):
             assert np.abs(a - b).max() <= 1
             assert (a != b).mean() <= 0.05
+
+
+def test_device_beam_matches_host_beam():
+    """decoder="beam" (fully on-device) must produce the same sequences and
+    moves as decoder="beam-host" (device scans + exact C++ oracle beam);
+    qstrings may differ by bf16 rounding only."""
+    cfg = fast_v40_config()
+    params = init_lstm_crf_params(cfg, jax.random.PRNGKey(2))
+    kw = dict(chunk_size=1000, batch_size=8)
+    dev = BasecallRunner(cfg, params, decoder="beam", **kw)
+    host = BasecallRunner(cfg, params, decoder="beam-host", **kw)
+    rng = np.random.RandomState(7)
+    buffer = dev.make_input_buffer()
+    for i in range(8):
+        buffer[i] = rng.randn(1000).astype(np.float32)
+    got = dev.call_chunks(buffer.copy(), 8)
+    want = host.call_chunks(buffer.copy(), 8)
+    for g, w in zip(got, want):
+        assert g.sequence == w.sequence
+        np.testing.assert_array_equal(g.moves, w.moves)
+        a = np.frombuffer(g.qstring.encode(), np.uint8).astype(int)
+        b = np.frombuffer(w.qstring.encode(), np.uint8).astype(int)
+        assert len(a) == len(b)
+        if len(a):
+            assert np.abs(a - b).max() <= 1
+            assert (a != b).mean() <= 0.05
