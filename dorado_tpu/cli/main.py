@@ -55,6 +55,8 @@ def _add_basecaller(sub: argparse._SubParsersAction) -> None:
     )
     p.add_argument("--modified-bases-threshold", type=float, default=0.05)
     p.add_argument("--kit-name", default=None, help="Barcoding kit (e.g. SQK-NBD114-24)")
+    p.add_argument("--sample-sheet", default=None,
+                   help="MinKNOW sample sheet CSV (barcode aliasing + filtering)")
     p.add_argument("--barcode-both-ends", action="store_true")
     p.add_argument("--estimate-poly-a", action="store_true")
     p.add_argument("--min-qscore", type=float, default=0.0)
@@ -140,10 +142,18 @@ def _run_basecaller(args: argparse.Namespace) -> int:
         print(f"> Resuming: {len(skip_read_ids)} reads already basecalled", file=sys.stderr)
 
     barcode_classifier = None
+    sample_sheet = None
+    if getattr(args, "sample_sheet", None):
+        from dorado_tpu.utils.sample_sheet import SampleSheet
+
+        sample_sheet = SampleSheet(args.sample_sheet, skip_index_matching=True)
     if args.kit_name:
         from dorado_tpu.demux import BarcodeClassifier
 
-        barcode_classifier = BarcodeClassifier(args.kit_name)
+        barcode_classifier = BarcodeClassifier(
+            args.kit_name,
+            allowed_barcodes=sample_sheet.get_barcode_values() if sample_sheet else None,
+        )
 
     pipeline = BasecallerPipeline(
         config,
@@ -158,6 +168,7 @@ def _run_basecaller(args: argparse.Namespace) -> int:
         modbase_threshold=args.modified_bases_threshold,
         barcode_classifier=barcode_classifier,
         barcode_both_ends=args.barcode_both_ends,
+        sample_sheet=sample_sheet,
         estimate_poly_a=args.estimate_poly_a,
         min_qscore=args.min_qscore,
         skip_read_ids=skip_read_ids,
@@ -429,6 +440,8 @@ def _add_demux(sub: argparse._SubParsersAction) -> None:
     p.add_argument("--output-dir", required=True)
     p.add_argument("--emit-summary", action="store_true")
     p.add_argument("--barcode-both-ends", action="store_true")
+    p.add_argument("--sample-sheet", default=None,
+                   help="MinKNOW sample sheet CSV (barcode aliasing + filtering)")
     p.set_defaults(func=_run_demux)
 
 
@@ -441,7 +454,15 @@ def _run_demux(args: argparse.Namespace) -> int:
     from dorado_tpu.io.sam import BamWriter, SamHeader, SamTag
 
     header_text, records = read_records(args.reads)
-    classifier = BarcodeClassifier(args.kit_name)
+    sample_sheet = None
+    if args.sample_sheet:
+        from dorado_tpu.utils.sample_sheet import SampleSheet
+
+        sample_sheet = SampleSheet(args.sample_sheet, skip_index_matching=True)
+    classifier = BarcodeClassifier(
+        args.kit_name,
+        allowed_barcodes=sample_sheet.get_barcode_values() if sample_sheet else None,
+    )
     kit_display = classifier.kit_info["name"]
 
     by_barcode = defaultdict(list)
@@ -454,6 +475,12 @@ def _run_demux(args: argparse.Namespace) -> int:
             name = UNCLASSIFIED
         else:
             name = f"{kit_display}_{normalize_barcode_name(result.barcode_name)}"
+            # sample-sheet alias replaces the barcode id in the BC tag and
+            # output grouping (BarcodeClassifierNode.cpp:131-137)
+            if sample_sheet is not None:
+                alias = sample_sheet.get_alias(name)
+                if alias:
+                    name = alias
         rec.tags = [t for t in rec.tags if t.tag != "BC"] + [SamTag("BC", "Z", name)]
         by_barcode[name].append(rec)
 

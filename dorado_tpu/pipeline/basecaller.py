@@ -81,6 +81,7 @@ class BasecallerPipeline:
         modbase_threshold: float = 0.05,
         barcode_classifier=None,
         barcode_both_ends: bool = False,
+        sample_sheet=None,
         estimate_poly_a: bool = False,
         poly_a_config=None,
         split_reads: bool = True,
@@ -108,6 +109,7 @@ class BasecallerPipeline:
         self.modbase_threshold = modbase_threshold
         self.barcode_classifier = barcode_classifier
         self.barcode_both_ends = barcode_both_ends
+        self.sample_sheet = sample_sheet
         self.read_splitter = None
         self.rna_splitter = None
         if split_reads and config.is_rna_model:
@@ -338,6 +340,15 @@ class BasecallerPipeline:
         stitched = stitch_chunks(called, self.config.stride, len(wr.scaled))
         seq, qstring, moves = stitched.seq, stitched.qstring, stitched.moves
 
+        # mux-change/unblock trimming runs before RNA reversal — the garbage
+        # is at the pore-exit end (BasecallerNode.cpp:251-254)
+        from dorado_tpu.utils.read_trim import mux_change_trim
+
+        seq, qstring, moves, wr.scaled = mux_change_trim(
+            seq, qstring, moves, wr.scaled, self.config.stride,
+            getattr(wr.read, "end_reason", ""),
+        )
+
         if self.config.is_rna_model:
             # RNA is sequenced 3'->5'; emit in standard orientation
             # (BasecallerNode.cpp:251-259)
@@ -432,6 +443,12 @@ class BasecallerPipeline:
                 f"{self.barcode_classifier.kit_info['name']}_"
                 f"{normalize_barcode_name(result.barcode_name)}"
             )
+            # sample-sheet alias replaces the barcode id in the BC tag
+            # (BarcodeClassifierNode.cpp:131-137)
+            if self.sample_sheet is not None:
+                alias = self.sample_sheet.get_alias(bc)
+                if alias:
+                    bc = alias
             # classified reads get the barcode appended to their read group
             # (ReadCommon::generate_read_group, messages.cpp:27-40)
             for t in rec.tags:

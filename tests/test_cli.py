@@ -204,3 +204,39 @@ class TestCliSurface:
         assert r.returncode == 0, r.stderr
         assert "Resuming: 3 reads" in r.stderr
         assert "Reads basecalled: 0" in r.stderr
+
+    def test_demux_sample_sheet(self, tmp_path):
+        from dorado_tpu.demux import get_barcode_sequence, get_kit_info
+        from dorado_tpu.io.sam import BamWriter, SamHeader, SamRecord
+        from dorado_tpu.utils import reverse_complement
+
+        rng = np.random.RandomState(5)
+        kit = "SQK-NBD114-24"
+        info = get_kit_info(kit)
+        bc = get_barcode_sequence("NB02")
+        ctx = info["top_front_flank"] + bc + info["top_rear_flank"]
+        read = "".join(rng.choice(list("ACGT"), 20)) + ctx + "".join(
+            rng.choice(list("ACGT"), 400)
+        ) + reverse_complement(ctx)
+        src = tmp_path / "in.bam"
+        with open(src, "wb") as fh:
+            w = BamWriter(fh, SamHeader())
+            w.write(SamRecord(qname="b", seq=read, qual="I" * len(read)))
+            w.close()
+        sheet = tmp_path / "sheet.csv"
+        sheet.write_text(
+            "flow_cell_id,kit,experiment_id,barcode,alias\n"
+            "F1,SQK-NBD114-24,e,barcode02,patient_7\n"
+        )
+        r = run_cli(
+            "demux", str(src), "--kit-name", kit,
+            "--sample-sheet", str(sheet),
+            "--output-dir", str(tmp_path / "dx"),
+        )
+        assert r.returncode == 0, r.stderr
+        # alias replaces the barcode id in grouping and BC tag
+        assert (tmp_path / "dx" / "patient_7.bam").exists()
+        from dorado_tpu.io.bam_reader import read_bam
+
+        rec = read_bam(tmp_path / "dx" / "patient_7.bam").records[0]
+        assert next(t.value for t in rec.tags if t.tag == "BC") == "patient_7"
