@@ -436,12 +436,17 @@ def _run_download(args: argparse.Namespace) -> int:
 def _add_demux(sub: argparse._SubParsersAction) -> None:
     p = sub.add_parser("demux", help="Demultiplex a basecalled BAM/SAM by barcode")
     p.add_argument("reads", help="Basecalled BAM or SAM file")
-    p.add_argument("--kit-name", required=True)
+    p.add_argument("--kit-name", default=None,
+                   help="Barcoding kit (or use --barcode-arrangement)")
     p.add_argument("--output-dir", required=True)
     p.add_argument("--emit-summary", action="store_true")
     p.add_argument("--barcode-both-ends", action="store_true")
     p.add_argument("--sample-sheet", default=None,
                    help="MinKNOW sample sheet CSV (barcode aliasing + filtering)")
+    p.add_argument("--barcode-arrangement", default=None,
+                   help="Custom barcode arrangement TOML")
+    p.add_argument("--barcode-sequences", default=None,
+                   help="Custom barcode sequences FASTA")
     p.set_defaults(func=_run_demux)
 
 
@@ -459,9 +464,19 @@ def _run_demux(args: argparse.Namespace) -> int:
         from dorado_tpu.utils.sample_sheet import SampleSheet
 
         sample_sheet = SampleSheet(args.sample_sheet, skip_index_matching=True)
+    custom_kit_info = None
+    kit_name = args.kit_name
+    if args.barcode_arrangement:
+        from dorado_tpu.demux import add_custom_barcodes, parse_custom_arrangement
+        from dorado_tpu.demux.custom_kit import parse_custom_sequences
+
+        kit_name, custom_kit_info = parse_custom_arrangement(args.barcode_arrangement)
+        if args.barcode_sequences:
+            add_custom_barcodes(parse_custom_sequences(args.barcode_sequences))
     classifier = BarcodeClassifier(
-        args.kit_name,
+        kit_name,
         allowed_barcodes=sample_sheet.get_barcode_values() if sample_sheet else None,
+        kit_info=custom_kit_info,
     )
     kit_display = classifier.kit_info["name"]
 
@@ -565,6 +580,8 @@ def _add_aligner(sub: argparse._SubParsersAction) -> None:
     p.add_argument("--emit-sam", action="store_true")
     p.add_argument("-k", type=int, default=15)
     p.add_argument("-w", type=int, default=10)
+    p.add_argument("--bed-file", default=None,
+                   help="BED regions; adds bh:i overlap-count tags")
     p.set_defaults(func=_run_aligner)
 
 
@@ -593,6 +610,12 @@ def _run_aligner(args: argparse.Namespace) -> int:
     print(f"> Indexing {args.reference}", file=sys.stderr)
     index = ReferenceIndex.build(args.reference, k=args.k, w=args.w)
     mapper = Mapper(index)
+
+    bed = None
+    if args.bed_file:
+        from dorado_tpu.alignment.bed_file import BedFile
+
+        bed = BedFile.load(args.bed_file)
 
     if args.reads.endswith((".fastq", ".fq")):
         records = _read_fastq(args.reads)
@@ -635,9 +658,20 @@ def _run_aligner(args: argparse.Namespace) -> int:
             rec.seq = reverse_complement(seq)
             if rec.qual != "*":
                 rec.qual = rec.qual[::-1]
-        rec.tags = [t for t in rec.tags if t.tag not in ("NM", "AS")]
+        rec.tags = [t for t in rec.tags if t.tag not in ("NM", "AS", "bh")]
         rec.tags.append(SamTag("NM", "i", a.nm))
         rec.tags.append(SamTag("AS", "i", a.score))
+        if bed is not None:
+            # reference span from the CIGAR (AlignerNode.cpp:253-254)
+            import re as _re
+
+            span = sum(
+                int(n) for n, op in _re.findall(r"(\d+)([MIDNSHP=X])", a.cigar)
+                if op in "MDN=X"
+            )
+            rec.tags.append(
+                SamTag("bh", "i", bed.hits(a.ref_name, a.ref_start, a.ref_start + span, a.is_reverse))
+            )
         aligned.append(rec)
     # coordinate-sorted output (hts_file.h sorted-BAM mode)
     aligned.sort(key=lambda r: (ref_order.get(r.rname, 1 << 30), r.pos))

@@ -53,7 +53,18 @@ def get_kit_info(kit_name: str) -> dict | None:
     return _data()["kits"].get(kit_name)
 
 
+_custom_barcodes: dict[str, str] = {}
+
+
+def add_custom_barcodes(barcodes: dict[str, str]) -> None:
+    """Register custom barcode sequences (barcode_kits.cpp
+    add_custom_barcodes analogue, fed from an arrangement FASTA)."""
+    _custom_barcodes.update(barcodes)
+
+
 def get_barcode_sequence(name: str) -> str:
+    if name in _custom_barcodes:
+        return _custom_barcodes[name]
     return _data()["barcodes"][name]
 
 
@@ -151,8 +162,13 @@ class _Candidate:
 
 
 class BarcodeClassifier:
-    def __init__(self, kit_name: str, allowed_barcodes: set[str] | None = None):
-        info = get_kit_info(kit_name)
+    def __init__(
+        self,
+        kit_name: str,
+        allowed_barcodes: set[str] | None = None,
+        kit_info: dict | None = None,
+    ):
+        info = kit_info if kit_info is not None else get_kit_info(kit_name)
         if info is None:
             raise ValueError(f"unknown barcode kit {kit_name!r}")
         self.kit_name = kit_name
