@@ -689,6 +689,10 @@ def _add_polish(sub: argparse._SubParsersAction) -> None:
     p.add_argument("reads", help="Aligned BAM/SAM (or FASTQ to self-align)")
     p.add_argument("draft", help="Draft assembly FASTA")
     p.add_argument("--model-params", default=None, help="GRU model params dir (.tensor files); random init if omitted (testing only)")
+    p.add_argument("--model-config", default=None,
+                   help="Model config TOML selecting the architecture "
+                        "(GRUModel/LatentSpaceLSTM/SlotAttentionConsensus/"
+                        "VariantPerceiver) and its kwargs")
     p.add_argument("-o", "--output", default="-")
     p.add_argument("--window-len", type=int, default=10000)
     p.set_defaults(func=_run_polish)
@@ -702,7 +706,21 @@ def _run_polish(args: argparse.Namespace) -> int:
     from dorado_tpu.secondary.pileup import AlignedRead
     from dorado_tpu.secondary.polish import PolishPipeline
 
-    if args.model_params:
+    forward = None
+    feature_kind = "counts"
+    if getattr(args, "model_config", None):
+        import tomllib
+
+        from dorado_tpu.secondary.architectures import model_factory
+
+        with open(args.model_config, "rb") as fh:
+            mc = tomllib.load(fh)
+        model_type = mc["model"]["type"]
+        params, forward, _ = model_factory(model_type, mc["model"].get("kwargs", {}))
+        if model_type != "GRUModel":
+            feature_kind = "read_level"
+        print(f"> Model: {model_type}", file=sys.stderr)
+    elif args.model_params:
         from dorado_tpu.io.tensor_file import load_tensor
         from pathlib import Path as P
 
@@ -759,7 +777,9 @@ def _run_polish(args: argparse.Namespace) -> int:
                 AlignedRead(rec.pos - 1, rec.cigar, rec.seq, bool(rec.flag & 16))
             )
 
-    pipeline = PolishPipeline(params, window_len=args.window_len)
+    pipeline = PolishPipeline(
+        params, window_len=args.window_len, forward=forward, feature_kind=feature_kind
+    )
     results = pipeline.run(args.draft, by_contig)
 
     fh = sys.stdout if args.output == "-" else open(args.output, "w")

@@ -28,11 +28,24 @@ class PolishStats:
 
 
 class PolishPipeline:
-    def __init__(self, params, window_len: int = 10000, batch_size: int = 8):
+    def __init__(
+        self,
+        params,
+        window_len: int = 10000,
+        batch_size: int = 8,
+        forward=None,
+        feature_kind: str = "counts",
+    ):
+        """feature_kind "counts" feeds the medaka counts pileup (GRUModel);
+        "read_level" feeds the [P, D, 4] read matrix (LatentSpaceLSTM /
+        SlotAttentionConsensus / VariantPerceiver, encoder_read_alignment)."""
         self.params = params
         self.window_len = window_len
         self.batch_size = batch_size
-        self._fn = jax.jit(gru_forward)
+        self.feature_kind = feature_kind
+        # provided forwards may include host-side steps (adjacency phasing),
+        # so only the default counts GRU is jitted here
+        self._fn = forward if forward is not None else jax.jit(gru_forward)
         self.stats = PolishStats()
 
     def polish_contig(self, draft: str, reads: list[AlignedRead]) -> str:
@@ -50,8 +63,18 @@ class PolishPipeline:
                 pieces.append(draft[start:end])  # no coverage: keep draft
                 self.stats.windows += 1
                 continue
-            feats = pile.counts[None, ...]  # [1, P, 10]
+            if self.feature_kind == "read_level":
+                from dorado_tpu.secondary.read_matrix import build_read_matrix
+
+                rm = build_read_matrix(window_reads, start, end)
+                feats = rm.matrix[None, ...]  # [1, P, D, 4]
+            else:
+                feats = pile.counts[None, ...]  # [1, P, 10]
             logits = np.asarray(self._fn(self.params, feats))[0]
+            if logits.ndim == 3:
+                # multi-slot/ploidy outputs: haplotype 0 carries the
+                # consensus for haploid polishing
+                logits = logits[:, 0]
             # positions with zero depth keep the draft base
             classes = logits.argmax(axis=-1)
             out = []
