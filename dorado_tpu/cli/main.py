@@ -884,6 +884,9 @@ def _add_correct(sub: argparse._SubParsersAction) -> None:
     p.add_argument("reads", help="FASTQ of reads")
     p.add_argument("-o", "--output", default="-")
     p.add_argument("--min-depth", type=int, default=2)
+    p.add_argument("--nn", action="store_true",
+                   help="HERRO-style NN scorer at supported positions "
+                        "(random weights unless --model-params)")
     p.set_defaults(func=_run_correct)
 
 
@@ -892,7 +895,7 @@ def _run_correct(args: argparse.Namespace) -> int:
 
     records = _read_fastq(args.reads)
     reads = [(r.qname, r.seq) for r in records]
-    corrector = ReadCorrector(min_depth=args.min_depth)
+    corrector = ReadCorrector(min_depth=args.min_depth, use_nn=args.nn)
     corrected = corrector.correct(reads)
 
     fh = sys.stdout if args.output == "-" else open(args.output, "w")

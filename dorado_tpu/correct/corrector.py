@@ -31,10 +31,23 @@ class CorrectStats:
 
 class ReadCorrector:
     def __init__(self, min_depth: int = 2, min_overlap_reads: int = 2,
-                 max_overlaps_per_read: int = 20):
+                 max_overlaps_per_read: int = 20, use_nn: bool = False,
+                 nn_params=None):
+        """use_nn enables the HERRO-style path: window feature matrices +
+        NN predictions at supported positions + majority decode elsewhere
+        (correct/features.py, correct/nn_model.py). The default is the
+        pileup-vote consensus (equivalent to the decode fallback)."""
         self.min_depth = min_depth
         self.min_overlap_reads = min_overlap_reads
         self.max_overlaps_per_read = max_overlaps_per_read
+        self.use_nn = use_nn
+        self.nn_params = nn_params
+        if use_nn and nn_params is None:
+            import jax
+
+            from dorado_tpu.correct.nn_model import init_correction_model
+
+            self.nn_params = init_correction_model(jax.random.PRNGKey(0))
         self.stats = CorrectStats()
 
     def correct(self, reads: list[tuple[str, str]]) -> list[tuple[str, str]]:
@@ -62,10 +75,42 @@ class ReadCorrector:
             if len(ovl) < self.min_overlap_reads:
                 out.append((name, seq))  # insufficient coverage: unchanged
                 continue
-            corrected = self._consensus(seq, ovl)
+            corrected = (
+                self._consensus_nn(seq, ovl)
+                if self.use_nn
+                else self._consensus(seq, ovl)
+            )
             self.stats.reads_corrected += 1
             out.append((name, corrected))
         return out
+
+    def _consensus_nn(self, target: str, ovl: list[AlignedRead]) -> str:
+        """HERRO-contract path: feature window over the whole read, NN
+        inference at supported positions, reference decode_window."""
+        import numpy as np
+
+        from dorado_tpu.correct.features import (
+            WindowOverlap,
+            decode_window,
+            get_features_for_window,
+        )
+        from dorado_tpu.correct.nn_model import predict_supported
+
+        wovs = [
+            WindowOverlap(
+                seq=r.seq,
+                qual=np.full(len(r.seq), 73.0, np.float32),
+                cigar=r.cigar,
+                tstart=r.ref_start,
+                fwd=not r.is_reverse,
+            )
+            for r in ovl
+        ]
+        wf = get_features_for_window(
+            target, np.full(len(target), 73.0, np.float32), wovs, 0, len(target)
+        )
+        wf.inferred_bases = predict_supported(self.nn_params, wf)
+        return decode_window(wf)
 
     def _consensus(self, target: str, ovl: list[AlignedRead]) -> str:
         """Pileup majority vote; target base wins below min_depth."""
