@@ -949,7 +949,25 @@ def main(argv: list[str] | None = None) -> int:
     except Exception:
         pass
 
+    # crash handlers (cli/main.cpp:84-87 analogue): native-fault tracebacks
+    # via faulthandler; uncaught exceptions get a one-line summary + trace
+    import faulthandler
+    import traceback
+
+    faulthandler.enable()
+
+    def _excepthook(exc_type, exc, tb):
+        print(f"[dorado_tpu] terminating with uncaught exception: {exc}", file=sys.stderr)
+        traceback.print_exception(exc_type, exc, tb)
+
+    sys.excepthook = _excepthook
+
     parser = argparse.ArgumentParser(prog="dorado_tpu")
+    parser.add_argument(
+        "--devopts",
+        default=None,
+        help="Internal developer options, 'k=v;k2=v2' (utils/dev_utils.h analogue)",
+    )
     sub = parser.add_subparsers(dest="command", required=True)
     _add_basecaller(sub)
     _add_duplex(sub)
@@ -962,6 +980,10 @@ def main(argv: list[str] | None = None) -> int:
     _add_variant(sub)
     _add_correct(sub)
     args = parser.parse_args(argv)
+    if args.devopts:
+        from dorado_tpu.utils.dev_utils import set_dev_opts
+
+        set_dev_opts(args.devopts)
     return args.func(args)
 
 

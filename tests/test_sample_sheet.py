@@ -91,3 +91,27 @@ def test_duplicate_barcode_skip_index_rejected(tmp_path):
         SampleSheet(str(p), skip_index_matching=True)
     # fine without skip_index_matching
     SampleSheet(str(p))
+
+
+def test_dev_opts():
+    from dorado_tpu.utils import dev_utils
+
+    dev_utils.set_dev_opts("foo=3;bar=hello;flag=true")
+    assert dev_utils.get_dev_opt("foo", 1) == 3
+    assert dev_utils.get_dev_opt("bar", "x") == "hello"
+    assert dev_utils.get_dev_opt("flag", False) is True
+    assert dev_utils.get_dev_opt("missing", 7) == 7
+
+
+def test_distributed_helpers():
+    from pathlib import Path
+
+    from dorado_tpu.parallel.distributed import host_output_path, shard_files_for_host
+
+    files = [Path(f"f{i}.pod5") for i in range(7)]
+    s0 = shard_files_for_host(files, 0, 2)
+    s1 = shard_files_for_host(files, 1, 2)
+    assert sorted(s0 + s1) == sorted(files)
+    assert not set(s0) & set(s1)
+    assert host_output_path("out.bam", 0) == Path("out.bam")
+    assert host_output_path("out.bam", 2) == Path("out.host2.bam")
