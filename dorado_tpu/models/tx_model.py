@@ -185,7 +185,14 @@ def tx_encoder_layer(
     k = apply_rope(qkv[:, :, 1], cos, sin)
     v = qkv[:, :, 2]
 
-    attn = windowed_attention(q, k, v, win[0], win[1])
+    if jax.default_backend() == "cpu" or max(win) > 128:
+        attn = windowed_attention(q, k, v, win[0], win[1])
+    else:
+        # fused Pallas banded attention: logits/softmax never touch HBM
+        # (ops/attention.py; ~0.7 GB/layer saved at sup shapes)
+        from dorado_tpu.ops.attention import windowed_attention_fused
+
+        attn = windowed_attention_fused(q, k, v, win[0], win[1])
     attn = attn.reshape(n, t, c)
     attn = (
         jnp.einsum(

@@ -1,0 +1,34 @@
+"""Fused Pallas banded attention parity vs the XLA strip-loop reference
+implementation (which itself is torch-parity tested in test_tx_model.py)."""
+
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from dorado_tpu.models.tx_model import windowed_attention
+from dorado_tpu.ops.attention import windowed_attention_fused
+
+
+@pytest.mark.parametrize(
+    "n,t,h,d,wu,wl",
+    [
+        (2, 1024, 8, 64, 127, 128),  # sup production shape
+        (1, 200, 4, 64, 127, 128),  # T not a multiple of 128
+        (2, 300, 2, 64, 10, 12),  # small window (strip truncation active)
+        (1, 97, 2, 64, 30, 40),  # T < BQ
+    ],
+)
+def test_fused_matches_strip_loop(n, t, h, d, wu, wl):
+    rng = np.random.RandomState(t + wu)
+    q = jnp.asarray(rng.randn(n, t, h, d).astype(np.float32))
+    k = jnp.asarray(rng.randn(n, t, h, d).astype(np.float32))
+    v = jnp.asarray(rng.randn(n, t, h, d).astype(np.float32))
+    ref = np.asarray(windowed_attention(q, k, v, wu, wl))
+    got = np.asarray(windowed_attention_fused(q, k, v, wu, wl))
+    np.testing.assert_allclose(got, ref, atol=2e-5)
+
+
+def test_window_too_large_rejected():
+    q = jnp.zeros((1, 300, 2, 64))
+    with pytest.raises(ValueError):
+        windowed_attention_fused(q, q, q, 300, 300)
