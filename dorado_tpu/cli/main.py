@@ -32,7 +32,8 @@ def _add_basecaller(sub: argparse._SubParsersAction) -> None:
     p.add_argument("--emit-fastq", action="store_true")
     p.add_argument("--emit-moves", action="store_true")
     p.add_argument("-c", "--chunksize", type=int, default=None)
-    p.add_argument("-b", "--batchsize", type=int, default=None)
+    p.add_argument("-b", "--batchsize", type=int, default=None,
+                   help="0 = auto (memory cap + benchmark sweep, cached)")
     p.add_argument("--overlap", type=int, default=None)
     p.add_argument(
         "--decoder",
@@ -155,11 +156,19 @@ def _run_basecaller(args: argparse.Namespace) -> int:
             allowed_barcodes=sample_sheet.get_barcode_values() if sample_sheet else None,
         )
 
+    batchsize = args.batchsize
+    if batchsize == 0:
+        from dorado_tpu.basecall.batch_size import auto_batch_size
+
+        chunk = args.chunksize or config.basecaller.chunk_size
+        batchsize = auto_batch_size(config, params, chunk, compute_dtype=dtype)
+        print(f"> Auto batch size: {batchsize}", file=sys.stderr)
+
     pipeline = BasecallerPipeline(
         config,
         params,
         chunk_size=args.chunksize,
-        batch_size=args.batchsize,
+        batch_size=batchsize,
         overlap=args.overlap,
         decoder=args.decoder,
         emit_moves=args.emit_moves,
