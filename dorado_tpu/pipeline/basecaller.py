@@ -207,6 +207,37 @@ class BasecallerPipeline:
                     "LB": ri.sample_id or "unknown",
                 }
         header.read_groups = list(seen.values())
+
+        # per-barcode read groups (bam_utils.cpp add_barcode_kit_rg_hdrs:
+        # one RG per (base group, kit barcode) with BC/bk/SM/al tags; sample
+        # sheets filter barcodes and substitute aliases)
+        if self.barcode_classifier is not None:
+            from dorado_tpu.demux import get_barcode_sequence
+            from dorado_tpu.demux.barcoder import normalize_barcode_name
+
+            info = self.barcode_classifier.kit_info
+            kit_name = self.barcode_classifier.kit_name
+            barcode_groups = []
+            for barcode_name in info["barcodes"]:
+                norm = normalize_barcode_name(barcode_name)
+                if self.sample_sheet is not None and not (
+                    self.sample_sheet.barcode_is_permitted(norm)
+                    or self.sample_sheet.barcode_is_permitted(barcode_name)
+                ):
+                    continue
+                alias = (
+                    self.sample_sheet.get_alias(norm) if self.sample_sheet else ""
+                )
+                for rg in header.read_groups:
+                    new = dict(rg)
+                    suffix = alias or f"{info['name']}_{norm}"
+                    new["ID"] = f"{rg['ID']}_{suffix}"
+                    new["BC"] = get_barcode_sequence(barcode_name)
+                    new["bk"] = kit_name
+                    new["SM"] = norm
+                    new["al"] = alias or norm
+                    barcode_groups.append(new)
+            header.read_groups.extend(barcode_groups)
         return header
 
     # ------------------------------------------------------------------

@@ -240,3 +240,23 @@ class TestCliSurface:
 
         rec = read_bam(tmp_path / "dx" / "patient_7.bam").records[0]
         assert next(t.value for t in rec.tags if t.tag == "BC") == "patient_7"
+
+    def test_barcode_rg_headers(self, model_dir, tmp_path):
+        out = tmp_path / "bc.bam"
+        r = run_cli(
+            "basecaller", str(model_dir), str(POD5_DIR),
+            "--decoder", "viterbi", "-b", "4", "-c", "4000",
+            "--kit-name", "SQK-NBD114-24", "-o", str(out),
+        )
+        assert r.returncode == 0, r.stderr
+        from dorado_tpu.io.bam_reader import read_bam
+
+        header = read_bam(out).header_text
+        rg_lines = [l for l in header.splitlines() if l.startswith("@RG")]
+        # 1 base group + 24 per-barcode groups (bam_utils.cpp
+        # add_barcode_kit_rg_hdrs)
+        assert len(rg_lines) == 25
+        bc_lines = [l for l in rg_lines if "SM:barcode02" in l]
+        assert len(bc_lines) == 1
+        assert "bk:SQK-NBD114-24" in bc_lines[0]
+        assert "_NB24_barcode02" in bc_lines[0]
