@@ -54,6 +54,10 @@ def basecalled_bam(model_dir, tmp_path_factory):
         "-o", str(out),
     )
     assert r.returncode == 0, r.stderr
+    # benchmarking-harness log contract (ProgressTracker.cpp:73-77 /
+    # regression_test benchmarking.py parses this exact prefix)
+    assert "> Basecalled @ Samples/s:" in r.stderr
+    assert "> Padding percentage:" in r.stderr
     return out
 
 

@@ -153,3 +153,32 @@ class TestBatchParams:
         assert p.overlap == 492
         assert p.chunk_size >= p.overlap
         assert p.chunk_size % 192 == 0
+
+
+class TestAllReferenceConfigs:
+    def test_every_checked_in_config_parses(self, reference_model_configs):
+        """Every config in the reference's tests/data/model_configs must
+        load (the reference's BasecallModelConfigTest.cpp sweep)."""
+        import tomllib
+
+        from dorado_tpu.config import load_model_config
+        from dorado_tpu.modbase.config import load_modbase_config
+
+        dirs = sorted(
+            d for d in reference_model_configs.iterdir()
+            if (d / "config.toml").exists()
+        )
+        assert len(dirs) >= 15
+        for d in dirs:
+            with open(d / "config.toml", "rb") as fh:
+                raw = tomllib.load(fh)
+            if "modbases" in raw:  # modbase model dirs
+                mcfg = load_modbase_config(d)
+                assert mcfg.kmer_len > 0, d.name
+                continue
+            cfg = load_model_config(d)
+            assert cfg.stride > 0, d.name
+            assert cfg.num_states > 0, d.name
+            assert cfg.outsize > 0, d.name
+            if "sup@v5" in d.name and "rna" not in d.name and "sample" not in d.name:
+                assert cfg.is_tx_model, d.name
