@@ -62,6 +62,15 @@ def _add_basecaller(sub: argparse._SubParsersAction) -> None:
     p.add_argument("--estimate-poly-a", action="store_true")
     p.add_argument("--min-qscore", type=float, default=0.0)
     p.add_argument("--resume-from", default=None, help="Resume from a partial BAM/SAM")
+    p.add_argument("--read-ids", default=None,
+                   help="File with one read id per line; only these are basecalled")
+    p.add_argument("--max-reads", type=int, default=None)
+    p.add_argument("--trim", choices=["all", "adapters", "primers", "none"],
+                   default="none",
+                   help="Trim adapters/primers from basecalls (TrimmerNode)")
+    p.add_argument("--no-trim", action="store_true", help="Alias for --trim none")
+    p.add_argument("--reference", default=None,
+                   help="Align basecalls inline against this FASTA (AlignerNode)")
     p.add_argument("--dump-stats-file", default=None)
     p.add_argument("--dump-stats-filter", default="")
     p.add_argument("--profile-dir", default=None, help="Write a JAX profiler trace")
@@ -142,6 +151,11 @@ def _run_basecaller(args: argparse.Namespace) -> int:
             skip_read_ids.add(pid if pid else rec.qname)
         print(f"> Resuming: {len(skip_read_ids)} reads already basecalled", file=sys.stderr)
 
+    only_read_ids = None
+    if getattr(args, "read_ids", None):
+        with open(args.read_ids) as fh:
+            only_read_ids = {line.strip() for line in fh if line.strip()}
+
     barcode_classifier = None
     sample_sheet = None
     if getattr(args, "sample_sheet", None):
@@ -181,6 +195,8 @@ def _run_basecaller(args: argparse.Namespace) -> int:
         estimate_poly_a=args.estimate_poly_a,
         min_qscore=args.min_qscore,
         skip_read_ids=skip_read_ids,
+        only_read_ids=only_read_ids,
+        max_reads=args.max_reads,
     )
 
     from dorado_tpu.io.pod5 import find_pod5_files
@@ -190,6 +206,17 @@ def _run_basecaller(args: argparse.Namespace) -> int:
         print(f"> No POD5 files found under {args.data}", file=sys.stderr)
         return 1
     header = pipeline.build_header(files, cli_line=" ".join(sys.argv))
+
+    # inline alignment (AlignerNode in the basecall pipeline,
+    # pipeline_creation.cpp) — from-scratch mapper over the given reference
+    aligner_mapper = None
+    if args.reference:
+        from dorado_tpu.alignment import Mapper, ReferenceIndex
+
+        print(f"> Indexing {args.reference}", file=sys.stderr)
+        aligner_index = ReferenceIndex.build(args.reference)
+        aligner_mapper = Mapper(aligner_index)
+        header.references = list(zip(aligner_index.names, aligner_index.lengths))
 
     out_is_stdout = args.output == "-"
     if args.emit_fastq:
@@ -218,11 +245,59 @@ def _run_basecaller(args: argparse.Namespace) -> int:
         )
         sampler.start()
 
+    trim_what = "none" if args.no_trim else args.trim
+
+    class _FinishingWriter:
+        """TrimmerNode + AlignerNode post-stages applied per record."""
+
+        def __init__(self, inner):
+            self.inner = inner
+
+        def write(self, rec):
+            if trim_what != "none" and rec.seq not in ("", "*"):
+                from dorado_tpu.demux.adapters import (
+                    determine_trim_interval,
+                    find_adapters,
+                    find_primers,
+                )
+                from dorado_tpu.demux.trimmer import trim_record
+
+                if trim_what in ("all", "adapters"):
+                    res = find_adapters(rec.seq, args.kit_name)
+                    trim_record(rec, determine_trim_interval(res, len(rec.seq)))
+                if trim_what in ("all", "primers") and rec.seq:
+                    res = find_primers(rec.seq, args.kit_name)
+                    trim_record(rec, determine_trim_interval(res, len(rec.seq)))
+            if aligner_mapper is not None and rec.seq not in ("", "*"):
+                from dorado_tpu.io.sam import SamTag
+                from dorado_tpu.utils import reverse_complement
+
+                alns = aligner_mapper.map(rec.seq)
+                if alns:
+                    a = alns[0]
+                    rec.flag = 16 if a.is_reverse else 0
+                    rec.rname = a.ref_name
+                    rec.pos = a.ref_start + 1
+                    rec.mapq = a.mapq
+                    rec.cigar = a.cigar
+                    if a.is_reverse:
+                        rec.seq = reverse_complement(rec.seq)
+                        if rec.qual != "*":
+                            rec.qual = rec.qual[::-1]
+                    rec.tags = [t for t in rec.tags if t.tag not in ("NM", "AS")]
+                    rec.tags.append(SamTag("NM", "i", a.nm))
+                    rec.tags.append(SamTag("AS", "i", a.score))
+                else:
+                    rec.flag |= 4
+            self.inner.write(rec)
+
+    sink = _FinishingWriter(writer) if (trim_what != "none" or aligner_mapper) else writer
+
     t0 = time.perf_counter()
     for rec in resume_records:
         writer.write(rec)
     with profiler_trace(args.profile_dir) if args.profile_dir else nullcontext():
-        stats = pipeline.run(args.data, writer, recursive=args.recursive)
+        stats = pipeline.run(args.data, sink, recursive=args.recursive)
     writer.close()
     if not out_is_stdout:
         fh.close()

@@ -87,6 +87,8 @@ class BasecallerPipeline:
         split_reads: bool = True,
         min_qscore: float = 0.0,
         skip_read_ids: set | None = None,
+        only_read_ids: set | None = None,
+        max_reads: int | None = None,
     ):
         import jax.numpy as jnp
 
@@ -142,6 +144,9 @@ class BasecallerPipeline:
             )
         self.min_qscore = min_qscore
         self.skip_read_ids = skip_read_ids or set()
+        self.only_read_ids = only_read_ids  # --read-ids allow-list
+        self.max_reads = max_reads
+        self._reads_fed = 0
         self.reads_filtered = 0
         self.scaler = Scaler(config.signal_norm_params, is_rna=config.is_rna_model)
         self.stats = PipelineStats()
@@ -273,6 +278,11 @@ class BasecallerPipeline:
     def _feed_read(self, read: Pod5Read, flush_cb) -> None:
         if read.read_id in self.skip_read_ids:
             return
+        if self.only_read_ids is not None and read.read_id not in self.only_read_ids:
+            return
+        if self.max_reads is not None and self._reads_fed >= self.max_reads:
+            return
+        self._reads_fed += 1
         if self.rna_splitter is not None:
             ranges = self.rna_splitter.split(read.signal)
             if len(ranges) > 1:

@@ -264,3 +264,52 @@ class TestCliSurface:
         assert len(bc_lines) == 1
         assert "bk:SQK-NBD114-24" in bc_lines[0]
         assert "_NB24_barcode02" in bc_lines[0]
+
+    def test_read_ids_and_max_reads(self, model_dir, tmp_path):
+        ids = tmp_path / "ids.txt"
+        # one known fixture read id
+        ids.write_text("c9d52049-ce91-491c-8b19-3ae940f9f020\n")
+        out = tmp_path / "subset.bam"
+        r = run_cli(
+            "basecaller", str(model_dir), str(POD5_DIR),
+            "--decoder", "viterbi", "-b", "4", "-c", "4000",
+            "--read-ids", str(ids), "-o", str(out),
+        )
+        assert r.returncode == 0, r.stderr
+        from dorado_tpu.io.bam_reader import read_bam
+
+        recs = read_bam(out).records
+        assert len(recs) == 1
+        assert recs[0].qname.startswith("c9d52049")
+
+        out2 = tmp_path / "max.bam"
+        r = run_cli(
+            "basecaller", str(model_dir), str(POD5_DIR),
+            "--decoder", "viterbi", "-b", "4", "-c", "4000",
+            "--max-reads", "2", "-o", str(out2),
+        )
+        assert r.returncode == 0, r.stderr
+        assert len(read_bam(out2).records) == 2
+
+    def test_inline_reference_alignment(self, model_dir, tmp_path):
+        """--reference drives the inline AlignerNode stage: SQ header lines
+        appear and every record passes the mapper (random-weight calls are
+        1-base, so they come out flagged unmapped)."""
+        import numpy as np
+
+        rng = np.random.RandomState(0)
+        ref = tmp_path / "ref.fasta"
+        ref.write_text(">target\n" + "".join(rng.choice(list("ACGT"), 5000)) + "\n")
+        out = tmp_path / "aligned.bam"
+        r = run_cli(
+            "basecaller", str(model_dir), str(POD5_DIR),
+            "--decoder", "viterbi", "-b", "4", "-c", "4000",
+            "--reference", str(ref), "-o", str(out),
+        )
+        assert r.returncode == 0, r.stderr
+        from dorado_tpu.io.bam_reader import read_bam
+
+        data = read_bam(out)
+        assert "@SQ\tSN:target\tLN:5000" in data.header_text
+        assert len(data.records) == 3
+        assert all(x.flag & 4 for x in data.records)  # 1-base calls: unmapped
