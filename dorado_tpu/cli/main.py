@@ -886,6 +886,8 @@ def _add_variant(sub: argparse._SubParsersAction) -> None:
     p.add_argument("reads", help="Aligned BAM/SAM (or FASTQ to self-align)")
     p.add_argument("draft", help="Reference FASTA")
     p.add_argument("--model-params", default=None)
+    p.add_argument("--model-config", default=None,
+                   help="Model config TOML (e.g. VariantPerceiver) — see polish")
     p.add_argument("-o", "--output", default="-")
     p.add_argument("--window-len", type=int, default=10000)
     p.set_defaults(func=_run_variant)
@@ -903,10 +905,24 @@ def _run_variant(args: argparse.Namespace) -> int:
     by_contig = _collect_alignments(args)
     if by_contig is None:
         return 1
-    if args.model_params:
-        print("> Custom model params loading shares the polish path", file=sys.stderr)
-    params = init_gru_params(jax.random.PRNGKey(0))
-    fn = jax.jit(gru_forward)
+    feature_kind = "counts"
+    if getattr(args, "model_config", None):
+        import tomllib
+
+        from dorado_tpu.secondary.architectures import model_factory
+
+        with open(args.model_config, "rb") as fh:
+            mc = tomllib.load(fh)
+        model_type = mc["model"]["type"]
+        params, fn, _ = model_factory(model_type, mc["model"].get("kwargs", {}))
+        if model_type != "GRUModel":
+            feature_kind = "read_level"
+        print(f"> Model: {model_type}", file=sys.stderr)
+    else:
+        if args.model_params:
+            print("> Custom model params loading shares the polish path", file=sys.stderr)
+        params = init_gru_params(jax.random.PRNGKey(0))
+        fn = jax.jit(gru_forward)
 
     contigs = read_fasta(args.draft)
     fh = sys.stdout if args.output == "-" else open(args.output, "w")
@@ -920,7 +936,17 @@ def _run_variant(args: argparse.Namespace) -> int:
             pile = build_pileup(window_reads, start, end)
             if pile.depth.max(initial=0.0) == 0:
                 continue
-            logits = np.asarray(fn(params, pile.counts[None]))[0]
+            if feature_kind == "read_level":
+                from dorado_tpu.secondary.read_matrix import build_read_matrix
+
+                rm = build_read_matrix(window_reads, start, end)
+                logits = np.asarray(fn(params, rm.matrix[None]))[0]
+                if logits.ndim == 3:
+                    # diploid outputs: haplotype 0 drives the VCF (full
+                    # phased diploid VCF emission: next round)
+                    logits = logits[:, 0]
+            else:
+                logits = np.asarray(fn(params, pile.counts[None]))[0]
             covered = pile.depth > 0
             for v in call_variants(
                 seq, name, logits[covered], pile.positions_major[covered],
