@@ -313,3 +313,43 @@ class TestCliSurface:
         assert "@SQ\tSN:target\tLN:5000" in data.header_text
         assert len(data.records) == 3
         assert all(x.flag & 4 for x in data.records)  # 1-base calls: unmapped
+
+    def test_duplex_stereo(self, model_dir, tmp_path):
+        """Full stereo duplex CLI over the reference's duplex POD5 fixture
+        (pairing + stereo feature encode + stereo basecall)."""
+        import shutil
+
+        import jax
+
+        from dorado_tpu.config import load_model_config
+        from dorado_tpu.models.crf_model import init_lstm_crf_params
+        from dorado_tpu.models.load import save_lstm_params
+
+        # fabricate a stereo model: fast architecture with 13 input features
+        # (the stereo CRF's feature encoder contract, stereo_features.cpp)
+        stereo_dir = tmp_path / "dna_r10.4.1_e8.2_5khz_stereo@v1.3"
+        stereo_dir.mkdir()
+        toml_text = (REF_CONFIGS / FAST / "config.toml").read_text()
+        toml_text = toml_text.replace("features = 1", "features = 13", 1)
+        toml_text = toml_text.replace("insize = 1\n", "insize = 13\n", 1)
+        (stereo_dir / "config.toml").write_text(toml_text)
+        cfg = load_model_config(stereo_dir)
+        assert cfg.num_features == 13
+        save_lstm_params(
+            cfg, init_lstm_crf_params(cfg, jax.random.PRNGKey(9)), stereo_dir
+        )
+
+        out = tmp_path / "duplex.bam"
+        r = run_cli(
+            "duplex", str(model_dir),
+            "/root/reference/tests/data/duplex/pod5",
+            "--stereo-model", str(stereo_dir),
+            "-b", "4", "-c", "4000", "-o", str(out),
+        )
+        assert r.returncode == 0, r.stderr
+        assert "Simplex reads basecalled: 4" in r.stderr
+        assert "Duplex reads basecalled:" in r.stderr
+        from dorado_tpu.io.bam_reader import read_bam
+
+        recs = read_bam(out).records
+        assert len(recs) >= 4
