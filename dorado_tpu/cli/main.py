@@ -718,8 +718,12 @@ def _run_aligner(args: argparse.Namespace) -> int:
         fh = sys.stdout if out_is_stdout else open(args.output, "w")
         writer = SamWriter(fh, header)
     else:
+        # bounded-memory coordinate sort with spill-to-disk merge
+        # (hts_file.h sort_bam mode)
+        from dorado_tpu.io.sorted_bam import SortedBamWriter
+
         fh = sys.stdout.buffer if out_is_stdout else open(args.output, "wb")
-        writer = BamWriter(fh, header)
+        writer = SortedBamWriter(fh, header)
 
     n_mapped = 0
     ref_order = {name: i for i, name in enumerate(index.names)}
