@@ -30,6 +30,46 @@ BASECALLING_FIELDS = [
     "mean_qscore_template",
 ]
 EXPERIMENT_FIELDS = ["pore_type", "experiment_id", "sample_id", "end_reason"]
+BARCODING_FIELDS = ["alias", "type", "barcode_arrangement", "barcode_kit", "barcode_variant"]
+ALIGNMENT_FIELDS = [
+    "alignment_genome",
+    "alignment_direction",
+    "alignment_genome_start",
+    "alignment_genome_end",
+    "alignment_strand_start",
+    "alignment_strand_end",
+    "alignment_num_insertions",
+    "alignment_num_deletions",
+    "alignment_num_aligned",
+    "alignment_num_correct",
+    "alignment_identity",
+    "alignment_accuracy",
+    "alignment_score",
+    "alignment_coverage",
+    "alignment_bed_hits",
+    "alignment_mapping_quality",
+]
+
+
+def _cigar_stats(cigar: str):
+    import re
+
+    ins = dele = aligned = lead_clip = tail_clip = 0
+    ops = re.findall(r"(\d+)([MIDNSHP=X])", cigar)
+    for i, (n, op) in enumerate(ops):
+        n = int(n)
+        if op == "I":
+            ins += n
+        elif op in "DN":
+            dele += n
+        elif op in "M=X":
+            aligned += n
+        elif op == "S":
+            if aligned == 0 and ins == 0:
+                lead_clip += n
+            else:
+                tail_clip += n
+    return ins, dele, aligned, lead_clip, tail_clip
 
 
 def _tag(rec: SamRecord, name: str, default):
@@ -68,7 +108,17 @@ def write_summary(
 ) -> int:
     """Write the summary TSV; returns the number of rows."""
     rg_runs = _parse_rg_run_ids(header_text)
+    # optional column groups appear when any record carries the data
+    # (SummaryFileWriter.cpp:46-85)
+    has_barcodes = any(_tag(r, "BC", None) is not None for r in records)
+    has_alignment = any(
+        not (r.flag & 4) and r.rname not in ("", "*") for r in records
+    )
     columns = GENERAL_FIELDS + BASECALLING_FIELDS + EXPERIMENT_FIELDS
+    if has_barcodes:
+        columns = columns + BARCODING_FIELDS
+    if has_alignment:
+        columns = columns + ALIGNMENT_FIELDS
     out.write("\t".join(columns) + "\n")
     rows = 0
     for rec in records:
@@ -115,6 +165,43 @@ def write_summary(
             "unknown",
             _tag(rec, "er", "unknown"),
         ]
+        if has_barcodes:
+            bc = _tag(rec, "BC", "unclassified")
+            vals += [bc, "unknown", bc, _tag(rec, "bk", "unknown"),
+                     _tag(rec, "bv", "n/a")]
+        if has_alignment:
+            mapped = not (rec.flag & 4) and rec.rname not in ("", "*")
+            if mapped and rec.cigar != "*":
+                ins, dele, aligned, lead, tail = _cigar_stats(rec.cigar)
+                nm = int(_tag(rec, "NM", 0))
+                mismatches = max(nm - ins - dele, 0)
+                correct = aligned - mismatches
+                identity = correct / aligned if aligned else 0.0
+                accuracy = correct / (aligned + ins + dele) if aligned else 0.0
+                strand_start = lead
+                strand_end = seq_len - tail
+                coverage = (strand_end - strand_start) / seq_len if seq_len else 0.0
+                vals += [
+                    rec.rname,
+                    "-" if rec.flag & 16 else "+",
+                    rec.pos - 1,
+                    rec.pos - 1 + aligned + dele,
+                    strand_start,
+                    strand_end,
+                    ins,
+                    dele,
+                    aligned,
+                    correct,
+                    f"{identity:.6f}",
+                    f"{accuracy:.6f}",
+                    int(_tag(rec, "AS", 0)),
+                    f"{coverage:.6f}",
+                    int(_tag(rec, "bh", 0)),
+                    rec.mapq,
+                ]
+            else:
+                vals += ["*", "-1", -1, -1, -1, -1, 0, 0, 0, 0,
+                         "0.000000", "0.000000", 0, "0.000000", 0, 0]
         out.write("\t".join(str(v) for v in vals) + "\n")
         rows += 1
     return rows

@@ -104,3 +104,33 @@ class TestSummary:
         rec.flag = 0x100
         buf = io.StringIO()
         assert write_summary([rec], buf) == 0
+
+
+def test_alignment_columns(tmp_path):
+    """Aligned input grows the alignment_* column group
+    (SummaryFileWriter.cpp:60-80)."""
+    import io as _io
+
+    from dorado_tpu.io.sam import SamRecord, SamTag
+    from dorado_tpu.io.summary import write_summary
+
+    rec = SamRecord(
+        qname="r0", seq="A" * 100, qual="I" * 100,
+        rname="ctg", pos=11, mapq=60, flag=0, cigar="5S90M2I3S",
+        tags=[SamTag("NM", "i", 4), SamTag("AS", "i", 85), SamTag("bh", "i", 2)],
+    )
+    buf = _io.StringIO()
+    write_summary([rec], buf)
+    header, row = buf.getvalue().splitlines()
+    cols = dict(zip(header.split("\t"), row.split("\t")))
+    assert cols["alignment_genome"] == "ctg"
+    assert cols["alignment_genome_start"] == "10"
+    assert cols["alignment_genome_end"] == "100"  # 10 + 90M
+    assert cols["alignment_strand_start"] == "5"
+    assert cols["alignment_strand_end"] == "97"
+    assert cols["alignment_num_insertions"] == "2"
+    assert cols["alignment_num_aligned"] == "90"
+    # NM=4 incl. 2 ins -> 2 mismatches -> 88 correct
+    assert cols["alignment_num_correct"] == "88"
+    assert cols["alignment_bed_hits"] == "2"
+    assert cols["alignment_mapping_quality"] == "60"
