@@ -597,6 +597,17 @@ def _run_demux(args: argparse.Namespace) -> int:
                 w.write(rec)
             w.close()
         print(f"> {name}: {len(recs)} reads -> {path}", file=sys.stderr)
+    if args.emit_summary:
+        # barcoding summary TSV next to the demuxed files (the reference's
+        # SummaryFileWriter in the demux output dir, demux.cpp:260-264)
+        spath = out_dir / "barcoding_summary.txt"
+        with open(spath, "w") as fh:
+            fh.write("read_id\tbarcode_arrangement\tbarcode_kit\talias\n")
+            for name, recs in sorted(by_barcode.items()):
+                for rec in recs:
+                    alias = name if sample_sheet is not None else ""
+                    fh.write(f"{rec.qname}\t{name}\t{kit_display}\t{alias}\n")
+        print(f"> Barcoding summary -> {spath}", file=sys.stderr)
     return 0
 
 
