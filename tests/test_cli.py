@@ -353,3 +353,31 @@ class TestCliSurface:
 
         recs = read_bam(out).records
         assert len(recs) >= 4
+
+    def test_rna_basecalling(self, tmp_path):
+        """RNA model end-to-end over the rna002 fixture: RNA scaling,
+        signal-space splitting, 3'->5' reversal, pipeline orientation."""
+        import shutil
+
+        import jax
+
+        from dorado_tpu.config import load_model_config
+        from dorado_tpu.models.crf_model import init_lstm_crf_params
+        from dorado_tpu.models.load import save_lstm_params
+
+        d = tmp_path / "rna002_70bps_fast@v3"
+        d.mkdir()
+        shutil.copy(REF_CONFIGS / "rna002_70bps_fast@v3" / "config.toml", d / "config.toml")
+        cfg = load_model_config(d)
+        assert cfg.is_rna_model
+        save_lstm_params(cfg, init_lstm_crf_params(cfg, jax.random.PRNGKey(4)), d)
+        out = tmp_path / "rna.bam"
+        r = run_cli(
+            "basecaller", str(d),
+            "/root/reference/tests/data/pod5/rna002_70bps",
+            "--decoder", "viterbi", "-b", "4", "-c", "4000", "-o", str(out),
+        )
+        assert r.returncode == 0, r.stderr
+        from dorado_tpu.io.bam_reader import read_bam
+
+        assert len(read_bam(out).records) >= 3
