@@ -78,3 +78,22 @@ class TestPod5File:
         reads = list(iter_reads(files, by_channel=True))
         chans = [r.channel for r in reads]
         assert chans == sorted(chans)
+
+
+def test_reads_every_reference_fixture():
+    """Every checked-in POD5 (incl. the degenerate trimming fixtures and
+    multi-read files) parses and yields complete reads."""
+    from pathlib import Path
+
+    from dorado_tpu.io.pod5 import Pod5File
+
+    files = sorted(Path("/root/reference/tests/data").rglob("*.pod5"))
+    assert len(files) >= 25
+    total = 0
+    for p in files:
+        for read in Pod5File(p).reads():
+            assert read.read_id
+            assert read.signal.dtype.kind in "if"
+            assert len(read.signal) > 0
+            total += 1
+    assert total >= 40
