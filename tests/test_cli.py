@@ -381,3 +381,17 @@ class TestCliSurface:
         from dorado_tpu.io.bam_reader import read_bam
 
         assert len(read_bam(out).records) >= 3
+
+    def test_degenerate_pod5_no_crash(self, model_dir, tmp_path):
+        """The degenerate trimming fixtures must basecall without errors
+        (test_simple_basecaller_execution.sh:227-228 error-condition runs)."""
+        for name in ("trimming_bomb.pod5", "overtrim.pod5"):
+            out = tmp_path / f"{name}.fq"
+            r = run_cli(
+                "basecaller", str(model_dir),
+                f"/root/reference/tests/data/pod5/degenerate/{name}",
+                "--decoder", "viterbi", "-b", "4", "-c", "4000",
+                "--emit-fastq", "--kit-name", "EXP-NBD196",
+                "-o", str(out),
+            )
+            assert r.returncode == 0, r.stderr
