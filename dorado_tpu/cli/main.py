@@ -808,17 +808,13 @@ def _run_polish(args: argparse.Namespace) -> int:
     forward = None
     feature_kind = "counts"
     if getattr(args, "model_config", None):
-        import tomllib
+        from dorado_tpu.secondary.architectures import model_factory, parse_model_config
 
-        from dorado_tpu.secondary.architectures import model_factory
-
-        with open(args.model_config, "rb") as fh:
-            mc = tomllib.load(fh)
-        model_type = mc["model"]["type"]
-        params, forward, _ = model_factory(model_type, mc["model"].get("kwargs", {}))
-        if model_type != "GRUModel":
+        mc = parse_model_config(args.model_config)
+        params, forward, _ = model_factory(mc["model_type"], mc["model_kwargs"])
+        if mc["model_type"] != "GRUModel":
             feature_kind = "read_level"
-        print(f"> Model: {model_type}", file=sys.stderr)
+        print(f"> Model: {mc['model_type']}", file=sys.stderr)
     elif args.model_params:
         from dorado_tpu.io.tensor_file import load_tensor
         from pathlib import Path as P
@@ -922,17 +918,13 @@ def _run_variant(args: argparse.Namespace) -> int:
         return 1
     feature_kind = "counts"
     if getattr(args, "model_config", None):
-        import tomllib
+        from dorado_tpu.secondary.architectures import model_factory, parse_model_config
 
-        from dorado_tpu.secondary.architectures import model_factory
-
-        with open(args.model_config, "rb") as fh:
-            mc = tomllib.load(fh)
-        model_type = mc["model"]["type"]
-        params, fn, _ = model_factory(model_type, mc["model"].get("kwargs", {}))
-        if model_type != "GRUModel":
+        mc = parse_model_config(args.model_config)
+        params, fn, _ = model_factory(mc["model_type"], mc["model_kwargs"])
+        if mc["model_type"] != "GRUModel":
             feature_kind = "read_level"
-        print(f"> Model: {model_type}", file=sys.stderr)
+        print(f"> Model: {mc['model_type']}", file=sys.stderr)
     else:
         if args.model_params:
             print("> Custom model params loading shares the polish path", file=sys.stderr)

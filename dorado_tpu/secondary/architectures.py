@@ -807,3 +807,41 @@ def model_factory(model_type: str, kwargs: dict, key=None):
         params = init_variant_perceiver(key, cfg)
         return params, lambda pr, x: variant_perceiver_forward(pr, x, cfg), cfg
     raise ValueError(f"Unknown model type: {model_type!r}")
+
+
+def parse_model_config(config_path):
+    """Parse a polish/variant model-directory config.toml
+    (secondary/architectures/model_config.cpp:94-180): [model] type+kwargs,
+    [feature_encoder] type+kwargs, label_scheme, config_version, supported
+    basecallers. Sections beyond [model] are optional here so hand-written
+    test configs stay valid."""
+    import tomllib
+    from pathlib import Path
+
+    with open(config_path, "rb") as fh:
+        config = tomllib.load(fh)
+    if "model" not in config:
+        raise ValueError("Model config must include the [model] section.")
+    model = config["model"]
+    out = {
+        "version": config.get("config_version", 1),
+        "model_type": model["type"],
+        "model_kwargs": model.get("kwargs", {}),
+        "model_dir": str(Path(config_path).parent),
+        "feature_encoder_type": "",
+        "feature_encoder_kwargs": {},
+        "label_scheme_type": "",
+        "supported_basecallers": set(),
+    }
+    if "basecaller_model" in config:
+        out["supported_basecallers"].add(config["basecaller_model"])
+    for name in config.get("supported_basecallers", []):
+        out["supported_basecallers"].add(name)
+    if "feature_encoder" in config:
+        fe = config["feature_encoder"]
+        out["feature_encoder_type"] = fe.get("type", "")
+        out["feature_encoder_kwargs"] = fe.get("kwargs", {})
+    if "label_scheme" in config:
+        ls = config["label_scheme"]
+        out["label_scheme_type"] = ls.get("type", "") if isinstance(ls, dict) else str(ls)
+    return out

@@ -346,3 +346,31 @@ class TestFactory:
             params, forward, _ = model_factory(model_type, kwargs)
             out = forward(params, x)
             assert out.shape == out_shape, model_type
+
+
+def test_parse_model_config(tmp_path):
+    """Reference polish model config schema (model_config.cpp:94-180)."""
+    from dorado_tpu.secondary.architectures import parse_model_config
+
+    p = tmp_path / "config.toml"
+    p.write_text(
+        'config_version = 1\n'
+        'basecaller_model = "dna_r10.4.1_e8.2_400bps_hac@v5.0.0"\n'
+        '[model]\ntype = "GRUModel"\n'
+        '[model.kwargs]\nnum_features = 10\nnum_classes = 5\n'
+        'gru_size = 128\nn_layers = 2\nbidirectional = "true"\n'
+        '[feature_encoder]\ntype = "CountsFeatureEncoder"\n'
+        '[feature_encoder.kwargs]\nnormalise = "total"\n'
+        '[label_scheme]\ntype = "HaploidLabelScheme"\n'
+    )
+    mc = parse_model_config(p)
+    assert mc["model_type"] == "GRUModel"
+    assert mc["model_kwargs"]["gru_size"] == 128
+    assert mc["feature_encoder_type"] == "CountsFeatureEncoder"
+    assert mc["label_scheme_type"] == "HaploidLabelScheme"
+    assert "dna_r10.4.1_e8.2_400bps_hac@v5.0.0" in mc["supported_basecallers"]
+
+    p2 = tmp_path / "bad.toml"
+    p2.write_text("[feature_encoder]\ntype = 'x'\n")
+    with pytest.raises(ValueError):
+        parse_model_config(p2)
