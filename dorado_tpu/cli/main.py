@@ -71,6 +71,30 @@ def _add_basecaller(sub: argparse._SubParsersAction) -> None:
     p.add_argument("--no-trim", action="store_true", help="Alias for --trim none")
     p.add_argument("--reference", default=None,
                    help="Align basecalls inline against this FASTA (AlignerNode)")
+    p.add_argument("--bed-file", default=None,
+                   help="BED regions for --reference alignments (bh tags)")
+    p.add_argument("--barcode-arrangement", default=None,
+                   help="Custom barcode arrangement TOML")
+    p.add_argument("--barcode-sequences", default=None,
+                   help="Custom barcode sequences FASTA")
+    p.add_argument("--primer-sequences", default=None,
+                   help="Custom primer sequences FASTA for trimming")
+    p.add_argument("--poly-a-config", default=None,
+                   help="Poly(A) estimation config TOML")
+    p.add_argument("--disable-read-splitting", action="store_true")
+    p.add_argument("--disable-variable-chunk-sizes", action="store_true",
+                   help="No-op: chunk lanes replace VCS on TPU (see README)")
+    p.add_argument("--rna-adapters", action="store_true",
+                   help="Force RNA adapter trimming")
+    p.add_argument("--skip-model-compatibility-check", action="store_true")
+    p.add_argument("--modified-bases-batchsize", type=int, default=None)
+    p.add_argument("--run-batchsize-benchmarks", action="store_true",
+                   help="Force a fresh auto-batch-size sweep (ignore cache)")
+    p.add_argument("--emit-batchsize-benchmarks", action="store_true",
+                   help="Print the chosen batch sizes")
+    p.add_argument("--run-for", type=int, default=None,
+                   help="Stop basecalling after N seconds (BenchmarkTimer)")
+    p.add_argument("-v", "--verbose", action="count", default=0)
     p.add_argument("--dump-stats-file", default=None)
     p.add_argument("--dump-stats-filter", default="")
     p.add_argument("--profile-dir", default=None, help="Write a JAX profiler trace")
@@ -102,6 +126,11 @@ def _run_basecaller(args: argparse.Namespace) -> int:
             mod_cfgs,
             canonical_stride=config.stride,
             is_rna=config.is_rna_model,
+            **(
+                {"batch_size": args.modified_bases_batchsize}
+                if getattr(args, "modified_bases_batchsize", None)
+                else {}
+            ),
         )
     elif args.modified_bases:
         # resolve mod variants against the registry, matching the chosen
@@ -136,6 +165,11 @@ def _run_basecaller(args: argparse.Namespace) -> int:
             mod_cfgs,
             canonical_stride=config.stride,
             is_rna=config.is_rna_model,
+            **(
+                {"batch_size": args.modified_bases_batchsize}
+                if getattr(args, "modified_bases_batchsize", None)
+                else {}
+            ),
         )
 
     # --resume-from: replay completed records and skip their read ids
@@ -151,6 +185,12 @@ def _run_basecaller(args: argparse.Namespace) -> int:
             skip_read_ids.add(pid if pid else rec.qname)
         print(f"> Resuming: {len(skip_read_ids)} reads already basecalled", file=sys.stderr)
 
+    if getattr(args, "primer_sequences", None):
+        from dorado_tpu.demux.adapters import add_custom_primers
+        from dorado_tpu.demux.custom_kit import parse_custom_sequences
+
+        add_custom_primers(parse_custom_sequences(args.primer_sequences))
+
     only_read_ids = None
     if getattr(args, "read_ids", None):
         with open(args.read_ids) as fh:
@@ -162,21 +202,42 @@ def _run_basecaller(args: argparse.Namespace) -> int:
         from dorado_tpu.utils.sample_sheet import SampleSheet
 
         sample_sheet = SampleSheet(args.sample_sheet, skip_index_matching=True)
-    if args.kit_name:
+    custom_kit_info = None
+    kit_name = args.kit_name
+    if getattr(args, "barcode_arrangement", None):
+        from dorado_tpu.demux import add_custom_barcodes, parse_custom_arrangement
+        from dorado_tpu.demux.custom_kit import parse_custom_sequences
+
+        kit_name, custom_kit_info = parse_custom_arrangement(args.barcode_arrangement)
+        if args.barcode_sequences:
+            add_custom_barcodes(parse_custom_sequences(args.barcode_sequences))
+    if kit_name:
         from dorado_tpu.demux import BarcodeClassifier
 
         barcode_classifier = BarcodeClassifier(
-            args.kit_name,
+            kit_name,
             allowed_barcodes=sample_sheet.get_barcode_values() if sample_sheet else None,
+            kit_info=custom_kit_info,
         )
+
+    poly_a_config = None
+    if getattr(args, "poly_a_config", None):
+        from dorado_tpu.polytail import load_poly_tail_config
+
+        poly_a_config = load_poly_tail_config(args.poly_a_config)
 
     batchsize = args.batchsize
     if batchsize == 0:
         from dorado_tpu.basecall.batch_size import auto_batch_size
 
         chunk = args.chunksize or config.basecaller.chunk_size
-        batchsize = auto_batch_size(config, params, chunk, compute_dtype=dtype)
+        batchsize = auto_batch_size(
+            config, params, chunk, compute_dtype=dtype,
+            use_cache=not args.run_batchsize_benchmarks,
+        )
         print(f"> Auto batch size: {batchsize}", file=sys.stderr)
+    if args.emit_batchsize_benchmarks:
+        print(f"> Batch size: {batchsize or 'model default'}", file=sys.stderr)
 
     pipeline = BasecallerPipeline(
         config,
@@ -193,10 +254,13 @@ def _run_basecaller(args: argparse.Namespace) -> int:
         barcode_both_ends=args.barcode_both_ends,
         sample_sheet=sample_sheet,
         estimate_poly_a=args.estimate_poly_a,
+        poly_a_config=poly_a_config,
+        split_reads=not args.disable_read_splitting,
         min_qscore=args.min_qscore,
         skip_read_ids=skip_read_ids,
         only_read_ids=only_read_ids,
         max_reads=args.max_reads,
+        force_rna_adapter_trim=args.rna_adapters,
     )
 
     from dorado_tpu.io.pod5 import find_pod5_files
@@ -210,6 +274,7 @@ def _run_basecaller(args: argparse.Namespace) -> int:
     # inline alignment (AlignerNode in the basecall pipeline,
     # pipeline_creation.cpp) — from-scratch mapper over the given reference
     aligner_mapper = None
+    aligner_bed = None
     if args.reference:
         from dorado_tpu.alignment import Mapper, ReferenceIndex
 
@@ -217,6 +282,10 @@ def _run_basecaller(args: argparse.Namespace) -> int:
         aligner_index = ReferenceIndex.build(args.reference)
         aligner_mapper = Mapper(aligner_index)
         header.references = list(zip(aligner_index.names, aligner_index.lengths))
+        if getattr(args, "bed_file", None):
+            from dorado_tpu.alignment.bed_file import BedFile
+
+            aligner_bed = BedFile.load(args.bed_file)
 
     out_is_stdout = args.output == "-"
     if args.emit_fastq:
@@ -284,9 +353,19 @@ def _run_basecaller(args: argparse.Namespace) -> int:
                         rec.seq = reverse_complement(rec.seq)
                         if rec.qual != "*":
                             rec.qual = rec.qual[::-1]
-                    rec.tags = [t for t in rec.tags if t.tag not in ("NM", "AS")]
+                    rec.tags = [t for t in rec.tags if t.tag not in ("NM", "AS", "bh")]
                     rec.tags.append(SamTag("NM", "i", a.nm))
                     rec.tags.append(SamTag("AS", "i", a.score))
+                    if aligner_bed is not None:
+                        import re as _re
+
+                        span = sum(
+                            int(n) for n, op in _re.findall(r"(\d+)([MIDNSHP=X])", a.cigar)
+                            if op in "MDN=X"
+                        )
+                        rec.tags.append(SamTag("bh", "i", aligner_bed.hits(
+                            a.ref_name, a.ref_start, a.ref_start + span, a.is_reverse
+                        )))
                 else:
                     rec.flag |= 4
             self.inner.write(rec)
@@ -297,7 +376,9 @@ def _run_basecaller(args: argparse.Namespace) -> int:
     for rec in resume_records:
         writer.write(rec)
     with profiler_trace(args.profile_dir) if args.profile_dir else nullcontext():
-        stats = pipeline.run(args.data, sink, recursive=args.recursive)
+        stats = pipeline.run(
+            args.data, sink, recursive=args.recursive, max_seconds=args.run_for
+        )
     writer.close()
     if not out_is_stdout:
         fh.close()

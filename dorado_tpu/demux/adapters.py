@@ -74,8 +74,23 @@ def adapters_for_kit(kit_name: str | None) -> list[tuple[str, str, str]]:
     return out
 
 
+_custom_primers: dict[str, str] = {}
+
+
+def add_custom_primers(primers: dict[str, str]) -> None:
+    """Register custom primer sequences from a --primer-sequences FASTA
+    (AdapterDetector custom-sequence path, parse_custom_sequences.cpp).
+    Names ending _FWD/_REV pair up; others search both orientations."""
+    _custom_primers.update(primers)
+
+
 def primers_for_kit(kit_name: str | None) -> list[tuple[str, str, str]]:
     """FWD/REV primer query pairs (AdapterDetector.cpp:185-208)."""
+    if _custom_primers:
+        out = []
+        for n, seq in _custom_primers.items():
+            out.append((n, seq, reverse_complement(seq)))
+        return out
     names = (
         list(PRIMERS)
         if kit_name is None

@@ -89,6 +89,7 @@ class BasecallerPipeline:
         skip_read_ids: set | None = None,
         only_read_ids: set | None = None,
         max_reads: int | None = None,
+        force_rna_adapter_trim: bool = False,
     ):
         import jax.numpy as jnp
 
@@ -148,7 +149,10 @@ class BasecallerPipeline:
         self.max_reads = max_reads
         self._reads_fed = 0
         self.reads_filtered = 0
-        self.scaler = Scaler(config.signal_norm_params, is_rna=config.is_rna_model)
+        self.scaler = Scaler(
+            config.signal_norm_params,
+            is_rna=config.is_rna_model or force_rna_adapter_trim,
+        )
         self.stats = PipelineStats()
 
         # one batching lane per configured chunk size ({T, T/2})
@@ -565,9 +569,19 @@ class BasecallerPipeline:
     # run
     # ------------------------------------------------------------------
 
-    def run(self, input_path: Path | str, writer, recursive: bool = False) -> PipelineStats:
-        """Basecall every read in every POD5 under ``input_path``."""
+    def run(
+        self,
+        input_path: Path | str,
+        writer,
+        recursive: bool = False,
+        max_seconds: float | None = None,
+    ) -> PipelineStats:
+        """Basecall every read in every POD5 under ``input_path``.
+        ``max_seconds`` time-boxes the run (the reference's BenchmarkTimer +
+        fast terminate, cli_lib/basecaller.cpp:708-716): no new reads are fed
+        after the deadline; in-flight reads still finish."""
         t0 = time.perf_counter()
+        deadline = t0 + max_seconds if max_seconds is not None else None
         files = find_pod5_files(input_path, recursive=recursive)
         finished: list[_WorkingRead] = []
 
@@ -577,9 +591,15 @@ class BasecallerPipeline:
                 for rec in self._finish_read(finished.pop()):
                     writer.write(rec)
 
+        stop = False
         for f in files:
+            if stop:
+                break
             reader = Pod5File(f)
             for read in reader.reads():
+                if deadline is not None and time.perf_counter() > deadline:
+                    stop = True
+                    break
                 read.filename = f.name
                 self._feed_read(read, flush)
         # drain: dispatch the partial batch, then harvest everything in flight

@@ -2,6 +2,7 @@ from dorado_tpu.polytail.calculator import (
     DNAPolyTailCalculator,
     PolyTailConfig,
     RNAPolyTailCalculator,
+    load_poly_tail_config,
     make_calculator,
 )
 
@@ -9,5 +10,6 @@ __all__ = [
     "DNAPolyTailCalculator",
     "PolyTailConfig",
     "RNAPolyTailCalculator",
+    "load_poly_tail_config",
     "make_calculator",
 ]

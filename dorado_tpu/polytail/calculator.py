@@ -399,3 +399,48 @@ def make_calculator(
     if is_rna:
         return RNAPolyTailCalculator(config, is_rna_adapter, speed, offset)
     return DNAPolyTailCalculator(config, speed, offset)
+
+
+def load_poly_tail_config(path) -> PolyTailConfig:
+    """Parse a --poly-a-config TOML (poly_tail/poly_tail_config.cpp:20-100):
+    [anchors] front/rear primers or plasmid flanks + windows, [threshold]
+    flank_threshold, [tail] tail_interrupt_length. Per-barcode [[overrides]]
+    return the DEFAULT config here (barcode-specific overrides: next round)."""
+    import tomllib
+
+    with open(path, "rb") as fh:
+        raw = tomllib.load(fh)
+    cfg = PolyTailConfig()
+    anchors = raw.get("anchors", {})
+    has_primers = "front_primer" in anchors or "rear_primer" in anchors
+    if has_primers:
+        if not ("front_primer" in anchors and "rear_primer" in anchors):
+            raise ValueError("Both front_primer and rear_primer must be provided")
+        cfg.front_primer = anchors["front_primer"]
+        cfg.rear_primer = anchors["rear_primer"]
+    if "plasmid_front_flank" in anchors or "plasmid_rear_flank" in anchors:
+        if has_primers:
+            raise ValueError("Both primer and plasmid anchors specified")
+        if not (
+            "plasmid_front_flank" in anchors and "plasmid_rear_flank" in anchors
+        ):
+            raise ValueError("Both plasmid flanks must be provided")
+        cfg.front_primer = anchors["plasmid_front_flank"]
+        cfg.rear_primer = anchors["plasmid_rear_flank"]
+        cfg.is_plasmid = True
+        cfg.flank_threshold = 0.85
+    if "primer_window" in anchors:
+        cfg.primer_window = int(anchors["primer_window"])
+        if cfg.primer_window <= 0:
+            raise ValueError("primer_window size needs to be > 0")
+    if "min_primer_separation" in anchors:
+        cfg.min_primer_separation = int(anchors["min_primer_separation"])
+        if cfg.min_primer_separation <= 0:
+            raise ValueError("min_primer_separation size needs to be > 0")
+    threshold = raw.get("threshold", {})
+    if "flank_threshold" in threshold:
+        cfg.flank_threshold = float(threshold["flank_threshold"])
+    tail = raw.get("tail", {})
+    if "tail_interrupt_length" in tail:
+        cfg.tail_interrupt_length = int(tail["tail_interrupt_length"])
+    return cfg
