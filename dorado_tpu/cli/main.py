@@ -450,6 +450,16 @@ def _resolve_model_arg(args: argparse.Namespace):
         return None
 
 
+
+def _add_common_opts(p: argparse.ArgumentParser) -> None:
+    """Flags every reference subcommand accepts: -v verbosity plus host
+    resource knobs that have no XLA-side meaning (threads are managed by the
+    runtime) but must parse."""
+    p.add_argument("-v", "--verbose", action="count", default=0)
+    p.add_argument("-t", "--threads", type=int, default=0,
+                   help="Host worker threads (0 = auto)")
+
+
 def _add_duplex(sub: argparse._SubParsersAction) -> None:
     p = sub.add_parser("duplex", help="Run duplex basecalling")
     p.add_argument("model", help="Simplex model directory")
@@ -466,6 +476,10 @@ def _add_duplex(sub: argparse._SubParsersAction) -> None:
     p.add_argument("-c", "--chunksize", type=int, default=None)
     p.add_argument("-b", "--batchsize", type=int, default=None)
     p.add_argument("--decoder", choices=["beam", "viterbi", "beam-host"], default="beam")
+    p.add_argument("--overlap", type=int, default=None)
+    p.add_argument("--min-qscore", type=float, default=0.0)
+    p.add_argument("--read-ids", default=None)
+    _add_common_opts(p)
     p.set_defaults(func=_run_duplex)
 
 
@@ -483,6 +497,9 @@ def _run_duplex(args: argparse.Namespace) -> int:
         return 1
     config, params = load_model(args.model)
     stereo_config, stereo_params = load_model(args.stereo_model)
+    duplex_kwargs = {}
+    if args.overlap is not None:
+        duplex_kwargs["overlap"] = args.overlap
     pipeline = DuplexPipeline(
         config,
         params,
@@ -491,7 +508,13 @@ def _run_duplex(args: argparse.Namespace) -> int:
         chunk_size=args.chunksize,
         batch_size=args.batchsize,
         decoder=args.decoder,
+        **duplex_kwargs,
     )
+    if args.min_qscore:
+        pipeline.simplex.min_qscore = args.min_qscore
+    if args.read_ids:
+        with open(args.read_ids) as _fh:
+            pipeline.simplex.only_read_ids = {l.strip() for l in _fh if l.strip()}
 
     files = find_pod5_files(args.data, recursive=args.recursive)
     if not files:
@@ -582,20 +605,64 @@ def _add_download(sub: argparse._SubParsersAction) -> None:
     p.add_argument("--model", default="all")
     p.add_argument("--list", action="store_true")
     p.add_argument("--list-yaml", action="store_true")
+    p.add_argument("--list-structured", action="store_true",
+                   help="List models grouped by chemistry/variant")
     p.add_argument("--directory", default=".")
+    p.add_argument("--models-directory", default=None,
+                   help="Alias for --directory (reference flag name)")
+    p.add_argument("--data", default=None,
+                   help="POD5 data to auto-select models for")
+    p.add_argument("-r", "--recursive", action="store_true")
+    _add_common_opts(p)
     p.set_defaults(func=_run_download)
 
 
 def _run_download(args: argparse.Namespace) -> int:
     from dorado_tpu.models.registry import list_models
 
+    if args.list_structured:
+        from collections import defaultdict
+
+        groups = defaultdict(list)
+        for name in list_models():
+            prefix = name.split("@")[0]
+            groups[prefix].append(name)
+        for prefix in sorted(groups):
+            print(prefix)
+            for name in sorted(groups[prefix]):
+                print(f"  {name}")
+        return 0
     if args.list or args.list_yaml:
         for name in list_models():
             print(name)
         return 0
+    if args.data:
+        # auto-select + download the models matching the input chemistry
+        from dorado_tpu.io.pod5 import Pod5File, find_pod5_files
+        from dorado_tpu.models.registry import get_chemistry, resolve_simplex_model
+
+        files = find_pod5_files(args.data, recursive=args.recursive)
+        if not files:
+            print(f"> No POD5 files found under {args.data}", file=sys.stderr)
+            return 1
+        ri = Pod5File(files[0]).run_infos[0]
+        chemistry = get_chemistry(
+            ri.flow_cell_product_code, ri.sequencing_kit, ri.sample_rate
+        )
+        if chemistry is None:
+            print("> Could not determine chemistry", file=sys.stderr)
+            return 1
+        from dorado_tpu.models.downloader import download_model
+
+        rc = 0
+        for variant in ("fast", "hac", "sup"):
+            info = resolve_simplex_model(chemistry, variant, None)
+            print(f"> {variant}: {info.name}", file=sys.stderr)
+            rc |= download_model(info.name, Path(args.models_directory or args.directory))
+        return rc
     from dorado_tpu.models.downloader import download_model
 
-    return download_model(args.model, Path(args.directory))
+    return download_model(args.model, Path(args.models_directory or args.directory))
 
 
 def _add_demux(sub: argparse._SubParsersAction) -> None:
@@ -612,6 +679,14 @@ def _add_demux(sub: argparse._SubParsersAction) -> None:
                    help="Custom barcode arrangement TOML")
     p.add_argument("--barcode-sequences", default=None,
                    help="Custom barcode sequences FASTA")
+    p.add_argument("--no-classify", action="store_true",
+                   help="Group by existing BC tags instead of classifying")
+    p.add_argument("--no-trim", action="store_true",
+                   help="Keep barcode sequence on the reads (default: trim)")
+    p.add_argument("--sort-bam", action="store_true")
+    p.add_argument("--max-reads", type=int, default=None)
+    p.add_argument("--read-ids", default=None)
+    _add_common_opts(p)
     p.set_defaults(func=_run_demux)
 
 
@@ -645,8 +720,23 @@ def _run_demux(args: argparse.Namespace) -> int:
     )
     kit_display = classifier.kit_info["name"]
 
+    only_ids = None
+    if args.read_ids:
+        with open(args.read_ids) as _fh:
+            only_ids = {l.strip() for l in _fh if l.strip()}
+
     by_barcode = defaultdict(list)
+    n_done = 0
     for rec in records:
+        if only_ids is not None and rec.qname not in only_ids:
+            continue
+        if args.max_reads is not None and n_done >= args.max_reads:
+            break
+        n_done += 1
+        if args.no_classify:
+            name = next((t.value for t in rec.tags if t.tag == "BC"), UNCLASSIFIED)
+            by_barcode[name].append(rec)
+            continue
         result = classifier.classify(
             rec.seq if rec.seq != "*" else "",
             barcode_both_ends=args.barcode_both_ends,
@@ -662,6 +752,15 @@ def _run_demux(args: argparse.Namespace) -> int:
                 if alias:
                     name = alias
         rec.tags = [t for t in rec.tags if t.tag != "BC"] + [SamTag("BC", "Z", name)]
+        if not args.no_trim and result.barcode_name != UNCLASSIFIED:
+            # trim the detected barcode span off the read (TrimmerNode after
+            # classification; reference default behaviour, Trimmer.cpp:40-91)
+            from dorado_tpu.demux.barcoder import determine_barcode_trim_interval
+            from dorado_tpu.demux.trimmer import trim_record
+
+            interval = determine_barcode_trim_interval(result, len(rec.seq))
+            if interval != (0, len(rec.seq)):
+                trim_record(rec, interval)
         by_barcode[name].append(rec)
 
     out_dir = Path(args.output_dir)
@@ -673,7 +772,12 @@ def _run_demux(args: argparse.Namespace) -> int:
     for name, recs in sorted(by_barcode.items()):
         path = out_dir / f"{name}.bam"
         with open(path, "wb") as fh:
-            w = BamWriter(fh, header)
+            if args.sort_bam:
+                from dorado_tpu.io.sorted_bam import SortedBamWriter
+
+                w = SortedBamWriter(fh, header)
+            else:
+                w = BamWriter(fh, header)
             for rec in recs:
                 w.write(rec)
             w.close()
@@ -699,9 +803,18 @@ def _add_trim(sub: argparse._SubParsersAction) -> None:
     p.add_argument("--emit-sam", action="store_true")
     p.add_argument("--kit-name", default=None)
     p.add_argument(
-        "--primer-sequences", default=None, help="(unsupported custom primer file)"
+        "--primer-sequences", default=None,
+        help="Custom primer sequences FASTA",
     )
+    p.add_argument("--sequencing-kit", default=None,
+                   help="Sequencing kit (alias used by the reference trim)")
     p.add_argument("--no-trim-primers", action="store_true")
+    p.add_argument("--emit-fastq", action="store_true")
+    p.add_argument("--max-reads", type=int, default=None)
+    p.add_argument("--read-ids", default=None)
+    p.add_argument("--rna", action="store_true",
+                   help="Input is direct RNA (adapters trimmed from 3' end)")
+    _add_common_opts(p)
     p.set_defaults(func=_run_trim)
 
 
@@ -715,11 +828,32 @@ def _run_trim(args: argparse.Namespace) -> int:
     from dorado_tpu.io.bam_reader import read_records
     from dorado_tpu.io.sam import BamWriter, SamHeader, SamWriter
 
+    if args.primer_sequences:
+        from dorado_tpu.demux.adapters import add_custom_primers
+        from dorado_tpu.demux.custom_kit import parse_custom_sequences
+
+        add_custom_primers(parse_custom_sequences(args.primer_sequences))
+
+    kit_name = args.kit_name or args.sequencing_kit
+    only_ids = None
+    if args.read_ids:
+        with open(args.read_ids) as _fh:
+            only_ids = {l.strip() for l in _fh if l.strip()}
+
     header_text, records = read_records(args.reads)
+    if only_ids is not None:
+        records = [r for r in records if r.qname in only_ids]
+    if args.max_reads is not None:
+        records = records[: args.max_reads]
     header = SamHeader()
 
     out_is_stdout = args.output == "-"
-    if args.emit_sam:
+    if args.emit_fastq:
+        from dorado_tpu.io.sam import FastqWriter
+
+        fh = sys.stdout if out_is_stdout else open(args.output, "w")
+        writer = FastqWriter(fh, header)
+    elif args.emit_sam:
         fh = sys.stdout if out_is_stdout else open(args.output, "w")
         writer = SamWriter(fh, header)
     else:
@@ -730,12 +864,12 @@ def _run_trim(args: argparse.Namespace) -> int:
     for rec in records:
         seq = rec.seq if rec.seq != "*" else ""
         if seq:
-            res = find_adapters(seq, args.kit_name)
+            res = find_adapters(seq, kit_name)
             interval = determine_trim_interval(res, len(seq))
             trim_record(rec, interval)
             if not args.no_trim_primers:
                 seq2 = rec.seq
-                res2 = find_primers(seq2, args.kit_name)
+                res2 = find_primers(seq2, kit_name)
                 interval2 = determine_trim_interval(res2, len(seq2))
                 trim_record(rec, interval2)
             if len(rec.seq) != len(seq):
@@ -758,6 +892,10 @@ def _add_aligner(sub: argparse._SubParsersAction) -> None:
     p.add_argument("-w", type=int, default=10)
     p.add_argument("--bed-file", default=None,
                    help="BED regions; adds bh:i overlap-count tags")
+    p.add_argument("--no-sort", action="store_true",
+                   help="Skip coordinate sorting of BAM output")
+    p.add_argument("--max-reads", type=int, default=None)
+    _add_common_opts(p)
     p.set_defaults(func=_run_aligner)
 
 
@@ -797,9 +935,11 @@ def _run_aligner(args: argparse.Namespace) -> int:
         records = _read_fastq(args.reads)
     else:
         _, records = read_records(args.reads)
+    if args.max_reads is not None:
+        records = records[: args.max_reads]
 
     header = SamHeader()
-    header.sort_order = "coordinate"
+    header.sort_order = "coordinate" if not args.no_sort else "unsorted"
     header.references = list(zip(index.names, index.lengths))
     header.programs.append(
         {"ID": "aligner", "PN": "dorado_tpu", "CL": " ".join(sys.argv)}
@@ -810,12 +950,15 @@ def _run_aligner(args: argparse.Namespace) -> int:
         fh = sys.stdout if out_is_stdout else open(args.output, "w")
         writer = SamWriter(fh, header)
     else:
-        # bounded-memory coordinate sort with spill-to-disk merge
-        # (hts_file.h sort_bam mode)
-        from dorado_tpu.io.sorted_bam import SortedBamWriter
-
         fh = sys.stdout.buffer if out_is_stdout else open(args.output, "wb")
-        writer = SortedBamWriter(fh, header)
+        if args.no_sort:
+            writer = BamWriter(fh, header)
+        else:
+            # bounded-memory coordinate sort with spill-to-disk merge
+            # (hts_file.h sort_bam mode)
+            from dorado_tpu.io.sorted_bam import SortedBamWriter
+
+            writer = SortedBamWriter(fh, header)
 
     n_mapped = 0
     ref_order = {name: i for i, name in enumerate(index.names)}
@@ -1114,6 +1257,8 @@ def _run_correct(args: argparse.Namespace) -> int:
 def _add_summary(sub: argparse._SubParsersAction) -> None:
     p = sub.add_parser("summary", help="Create sequencing summary from a BAM/SAM")
     p.add_argument("reads", help="Basecalled BAM or SAM file")
+    p.add_argument("-r", "--recursive", action="store_true")
+    _add_common_opts(p)
     p.set_defaults(func=_run_summary)
 
 

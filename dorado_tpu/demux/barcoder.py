@@ -552,3 +552,24 @@ class BarcodeClassifier:
             ):
                 return BarcodeScoreResult()
         return out
+
+
+def determine_barcode_trim_interval(res: BarcodeScoreResult, seqlen: int):
+    """Retained [start, end) after removing confidently-located barcode
+    regions (demux/Trimmer.cpp:40-91)."""
+    interval = [0, seqlen]
+    if res.kit == UNCLASSIFIED or res.barcode_name == UNCLASSIFIED:
+        return tuple(interval)
+    flank_thres = 0.6
+    if res.top_penalty >= 0 and res.top_flank_score > flank_thres:
+        interval[0] = res.top_barcode_pos[1] + 1
+    if res.bottom_penalty >= 0 and res.bottom_flank_score > flank_thres:
+        interval[1] = res.bottom_barcode_pos[0]
+    if interval[1] <= interval[0]:
+        if res.use_top:
+            interval = [res.top_barcode_pos[1] + 1, seqlen]
+        else:
+            interval = [0, res.bottom_barcode_pos[0]]
+    if interval[1] <= interval[0]:
+        interval = [0, seqlen]
+    return tuple(interval)

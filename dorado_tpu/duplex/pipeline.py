@@ -47,6 +47,7 @@ class DuplexPipeline:
         batch_size: int | None = None,
         decoder: str = "beam",
         compute_dtype=None,
+        overlap: int | None = None,
     ):
         import jax.numpy as jnp
 
@@ -59,6 +60,7 @@ class DuplexPipeline:
             decoder=decoder,
             emit_moves=True,
             compute_dtype=dtype,
+            overlap=overlap,
         )
         if not stereo_config.has_normalised_basecaller_params():
             stereo_config.normalise_basecaller_params()
