@@ -1018,6 +1018,14 @@ def _add_polish(sub: argparse._SubParsersAction) -> None:
                         "VariantPerceiver) and its kwargs")
     p.add_argument("-o", "--output", default="-")
     p.add_argument("--window-len", type=int, default=10000)
+    p.add_argument("--regions", default=None,
+                   help="Comma-separated contig[:start-end] regions to polish")
+    p.add_argument("--min-mapq", type=int, default=0)
+    p.add_argument("--min-depth", type=int, default=0,
+                   help="Below this coverage the draft base is kept")
+    p.add_argument("--qualities", action="store_true",
+                   help="Emit FASTQ with per-base consensus qualities")
+    _add_common_opts(p)
     p.set_defaults(func=_run_polish)
 
 
@@ -1097,12 +1105,22 @@ def _run_polish(args: argparse.Namespace) -> int:
             )
 
     pipeline = PolishPipeline(
-        params, window_len=args.window_len, forward=forward, feature_kind=feature_kind
+        params, window_len=args.window_len, forward=forward,
+        feature_kind=feature_kind, min_depth=args.min_depth,
     )
-    results = pipeline.run(args.draft, by_contig)
+    results = pipeline.run(
+        args.draft, by_contig,
+        regions=_parse_regions(args.regions),
+        with_quals=args.qualities,
+    )
 
     fh = sys.stdout if args.output == "-" else open(args.output, "w")
-    for name, seq in results:
+    for name, result in results:
+        if args.qualities:
+            seq, qual = result
+            fh.write(f"@{name}\n{seq}\n+\n{qual}\n")
+            continue
+        seq = result
         fh.write(f">{name}\n")
         for i in range(0, len(seq), 80):
             fh.write(seq[i : i + 80] + "\n")
@@ -1125,6 +1143,10 @@ def _add_variant(sub: argparse._SubParsersAction) -> None:
                    help="Model config TOML (e.g. VariantPerceiver) — see polish")
     p.add_argument("-o", "--output", default="-")
     p.add_argument("--window-len", type=int, default=10000)
+    p.add_argument("--regions", default=None,
+                   help="Comma-separated contig[:start-end] regions to call")
+    p.add_argument("--min-mapq", type=int, default=0)
+    _add_common_opts(p)
     p.set_defaults(func=_run_variant)
 
 
@@ -1156,13 +1178,19 @@ def _run_variant(args: argparse.Namespace) -> int:
         fn = jax.jit(gru_forward)
 
     contigs = read_fasta(args.draft)
+    regions = _parse_regions(args.regions)
     fh = sys.stdout if args.output == "-" else open(args.output, "w")
     writer = VcfWriter(fh, [(n, len(s)) for n, s in contigs])
     n_var = 0
     for name, seq in contigs:
+        if regions is not None and name not in regions:
+            continue
+        span = regions.get(name) if regions else None
+        r_start, r_end = span if span else (0, len(seq))
+        r_end = len(seq) if r_end is None else min(r_end, len(seq))
         reads = by_contig.get(name, [])
-        for start in range(0, len(seq), args.window_len):
-            end = min(len(seq), start + args.window_len)
+        for start in range(r_start, r_end, args.window_len):
+            end = min(r_end, start + args.window_len)
             window_reads = [r for r in reads if r.ref_start < end]
             pile = build_pileup(window_reads, start, end)
             if pile.depth.max(initial=0.0) == 0:
@@ -1195,6 +1223,7 @@ def _collect_alignments(args):
     from dorado_tpu.io.bam_reader import read_records
     from dorado_tpu.secondary.pileup import AlignedRead
 
+    min_mapq = getattr(args, "min_mapq", 0) or 0
     if args.reads.endswith((".fastq", ".fq")):
         from dorado_tpu.alignment import Mapper, ReferenceIndex
         from dorado_tpu.utils import reverse_complement
@@ -1204,6 +1233,8 @@ def _collect_alignments(args):
         by_contig: dict[str, list[AlignedRead]] = {}
         for rec in _read_fastq(args.reads):
             for a in mapper.map(rec.seq):
+                if a.mapq < min_mapq:
+                    continue
                 seq = reverse_complement(rec.seq) if a.is_reverse else rec.seq
                 by_contig.setdefault(a.ref_name, []).append(
                     AlignedRead(a.ref_start, a.cigar, seq, a.is_reverse)
@@ -1214,10 +1245,29 @@ def _collect_alignments(args):
     for rec in records:
         if rec.flag & 4 or rec.rname == "*" or rec.cigar == "*":
             continue
+        if rec.mapq < min_mapq:
+            continue
         by_contig.setdefault(rec.rname, []).append(
             AlignedRead(rec.pos - 1, rec.cigar, rec.seq, bool(rec.flag & 16))
         )
     return by_contig
+
+
+def _parse_regions(spec: str | None):
+    """"ctg" or "ctg:start-end" (1-based inclusive, the htslib convention)
+    -> {ctg: (start0, end) or None}."""
+    if not spec:
+        return None
+    out = {}
+    for part in spec.split(","):
+        part = part.strip()
+        if ":" in part:
+            name, rng = part.split(":", 1)
+            lo, _, hi = rng.partition("-")
+            out[name] = (int(lo) - 1, int(hi) if hi else None)
+        else:
+            out[part] = None
+    return out
 
 
 def _add_correct(sub: argparse._SubParsersAction) -> None:
