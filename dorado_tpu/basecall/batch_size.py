@@ -95,6 +95,20 @@ def auto_batch_size(
             cache = {}
         if key in cache:
             return int(cache[key])
+    if use_cache:
+        # packaged per-device tables (benchmarks/CudaChunkBenchmarks analogue)
+        shipped = Path(__file__).parent / "benchmarks_v5e.json"
+        try:
+            table = json.loads(shipped.read_text())
+            # device_kind strings vary slightly across runtimes; prefix-match
+            for k, v in table.items():
+                parts = k.split("|")
+                if len(parts) == 3 and key.startswith(parts[0][:10]) and (
+                    f"{parts[1]}|{parts[2]}" == f"{model_name}|{chunk_size}"
+                ):
+                    return int(v)
+        except Exception:
+            pass
 
     bench_chunk = 288 * config.stride
     cap = max_batch or min(max_safe_batch_size(config, chunk_size), 4096)
