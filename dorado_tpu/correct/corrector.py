@@ -1,11 +1,12 @@
 """Read error correction (the role of `dorado correct`,
 dorado/cli/cli_lib/correct.cpp + dorado/correct/).
 
-Round-1 scope: the all-vs-all overlap + per-read consensus machinery. The
-reference runs a HERRO TorchScript transformer over alignment-feature
-windows (CorrectionInferenceNode.cpp:186-247); here the consensus step is a
-depth-weighted pileup vote over the same overlap structure — the NN scorer
-plugs into the consensus step when trained weights are available.
+Two consensus paths over the same all-vs-all overlap structure: the default
+depth-weighted pileup vote, and the HERRO-style NN path (`use_nn`) — window
+feature matrices (correct/features.py), NN predictions at supported
+positions with the reference inference contract (correct/nn_model.py,
+CorrectionInferenceNode.cpp:186-247), and the reference decode
+(decode.cpp semantics) with vote fallback elsewhere.
 
 Overlaps come from the built-in minimizer mapper (the reference uses
 minimap2 all-vs-all, correct.cpp:439).
