@@ -894,6 +894,8 @@ def _add_aligner(sub: argparse._SubParsersAction) -> None:
                    help="BED regions; adds bh:i overlap-count tags")
     p.add_argument("--no-sort", action="store_true",
                    help="Skip coordinate sorting of BAM output")
+    p.add_argument("--mm2-opts", default=None,
+                   help="minimap2-style option string, e.g. '-k 15 -w 10'")
     p.add_argument("--max-reads", type=int, default=None)
     _add_common_opts(p)
     p.set_defaults(func=_run_aligner)
@@ -921,8 +923,29 @@ def _run_aligner(args: argparse.Namespace) -> int:
     from dorado_tpu.io.sam import BamWriter, SamHeader, SamTag, SamWriter
     from dorado_tpu.utils import reverse_complement
 
+    k, w = args.k, args.w
+    if args.mm2_opts:
+        # minimap2-style option string (alignment/minimap2_args parity for
+        # the supported subset)
+        toks = args.mm2_opts.split()
+        i = 0
+        while i < len(toks):
+            if toks[i] in ("-k", "-w") and i + 1 < len(toks):
+                if toks[i] == "-k":
+                    k = int(toks[i + 1])
+                else:
+                    w = int(toks[i + 1])
+                i += 2
+            elif toks[i].startswith("-k") and len(toks[i]) > 2:
+                k = int(toks[i][2:]); i += 1
+            elif toks[i].startswith("-w") and len(toks[i]) > 2:
+                w = int(toks[i][2:]); i += 1
+            else:
+                print(f"> Ignoring unsupported mm2 option {toks[i]!r}", file=sys.stderr)
+                i += 1
+
     print(f"> Indexing {args.reference}", file=sys.stderr)
-    index = ReferenceIndex.build(args.reference, k=args.k, w=args.w)
+    index = ReferenceIndex.build(args.reference, k=k, w=w)
     mapper = Mapper(index)
 
     bed = None
