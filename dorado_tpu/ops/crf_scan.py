@@ -12,12 +12,9 @@ Lattice semantics (parity with dorado/basecall/decode/CPUDecoder.cpp:17-99):
   - forward/backward scores alpha/beta are computed with log-sum-exp over the
     5 incoming/outgoing transitions; posteriors = softmax(alpha + beta).
 
-The scans are expressed as `jax.lax.scan` over time. The per-step
-predecessor/successor "gathers" have purely strided structure
-(idx[s, r] = r*(S/4) + s>>2 and succ[s, b] = (s%(S/4))*4 + b), so they are
-written as reshape/transpose/repeat — layout ops the TPU executes at full
-VPU bandwidth, where a general lane-dim gather runs near one element/cycle.
-Batched over chunks.
+The scans are expressed as `jax.lax.scan` over time with the per-step update
+as pure gather + LSE on [N, S] score blocks — XLA keeps the whole update in
+VMEM-resident fused loops on TPU. Batched over chunks.
 """
 
 from __future__ import annotations
@@ -56,23 +53,9 @@ def _lse_scan(scores_step: jnp.ndarray, stay_score: float, idx: jnp.ndarray,
     """
     t_len, n, s, _ = scores_step.shape
 
-    s4 = s // 4
-
-    def gather_sources(alpha):
-        # predecessor gather idx[s, r] = r*(S/4) + s>>2 as pure layout ops:
-        # value (n, s, r) = alpha[n, r*(S/4) + s//4]
-        if not reverse:
-            a = alpha.reshape(n, 4, s4)
-            b = jnp.transpose(a, (0, 2, 1))  # [N, S/4, 4]
-            return jnp.repeat(b, 4, axis=1)  # [N, S, 4]
-        # successor gather succ[s, b] = (s % (S/4))*4 + b:
-        # value (n, s, b) = alpha[n, (s % s4)*4 + b]
-        c_ = alpha.reshape(n, s4, 4)
-        return jnp.tile(c_, (1, 4, 1))  # [N, S, 4]
-
     def step(alpha, ms_t):
         # ms_t: [N, S, 4]; alpha: [N, S]
-        stepped = gather_sources(alpha) + ms_t  # [N, S, 4]
+        stepped = alpha[:, idx] + ms_t  # [N, S, 4]
         stay = alpha + stay_score  # [N, S]
         m = jnp.maximum(jnp.max(stepped, axis=-1), stay)
         summed = jnp.sum(jnp.exp(stepped - m[..., None]), axis=-1) + jnp.exp(stay - m)
@@ -112,11 +95,7 @@ def backward_scores(scores_tnc: jnp.ndarray, fixed_stay_score: float) -> jnp.nda
     oldest = (np.arange(num_states) >> (2 * (state_len - 1))).astype(np.int32)
     out_flat = (succ * 4 + oldest[:, None]).astype(np.int32)  # [S, 4]
 
-    # out_flat[s, b] = (s % S4)*16 + b*4 + s//S4: another pure-layout gather
-    # — reshape [T, N, S4, 4(b), 4(q)] and transpose q to the front
-    s4 = num_states // 4
-    d = scores_tnc.astype(jnp.float32).reshape(t_len, n, s4, 4, 4)
-    ms_out = jnp.transpose(d, (0, 1, 4, 2, 3)).reshape(t_len, n, num_states, 4)
+    ms_out = scores_tnc.astype(jnp.float32)[:, :, out_flat]  # [T, N, S, 4]
     succ_j = jnp.asarray(succ)
     return _lse_scan(ms_out, fixed_stay_score, succ_j, succ_j, reverse=True)
 
@@ -144,12 +123,8 @@ def viterbi_path(scores_tnc: jnp.ndarray, fixed_stay_score: float) -> tuple[jnp.
     ms = scores_tnc.reshape(t_len, n, num_states, 4).astype(jnp.float32)
     idx = jnp.asarray(predecessor_index(num_states))
 
-    s4 = num_states // 4
-
     def fwd_step(alpha, ms_t):
-        a = alpha.reshape(n, 4, s4)
-        b = jnp.transpose(a, (0, 2, 1))
-        stepped = jnp.repeat(b, 4, axis=1) + ms_t  # [N, S, 4]
+        stepped = alpha[:, idx] + ms_t  # [N, S, 4]
         stay = alpha + fixed_stay_score  # [N, S]
         best_step = jnp.max(stepped, axis=-1)
         best_r = jnp.argmax(stepped, axis=-1).astype(jnp.int32)  # [N, S]
