@@ -10,7 +10,7 @@ the best chain per query with mapq downweighted when the runner-up is close.
 
 from __future__ import annotations
 
-from dataclasses import dataclass, field
+from dataclasses import dataclass
 
 import numpy as np
 

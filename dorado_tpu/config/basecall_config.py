@@ -15,7 +15,6 @@ Semantics-parity notes (reference: nanoporetech/dorado):
 from __future__ import annotations
 
 import enum
-import math
 import tomllib
 from dataclasses import dataclass, field
 from pathlib import Path

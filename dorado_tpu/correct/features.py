@@ -13,7 +13,7 @@ everything else falls to the majority-vote decode (decode.cpp:43-135).
 from __future__ import annotations
 
 import re
-from dataclasses import dataclass, field
+from dataclasses import dataclass
 
 import numpy as np
 

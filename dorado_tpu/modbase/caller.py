@@ -10,12 +10,12 @@ modbase alphabet).
 
 from __future__ import annotations
 
-from dataclasses import dataclass, field
+from dataclasses import dataclass
 
 import jax
 import numpy as np
 
-from dorado_tpu.modbase.config import BASE_IDS, ModBaseModelConfig
+from dorado_tpu.modbase.config import ModBaseModelConfig
 from dorado_tpu.modbase.encode import (
     encode_kmer_chunk,
     moves_to_map,

@@ -15,7 +15,6 @@ lstm1/lstm2, fc, optional linear_up.
 
 from __future__ import annotations
 
-from functools import partial
 from pathlib import Path
 
 import jax

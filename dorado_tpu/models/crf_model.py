@@ -25,7 +25,6 @@ information comes from `BasecallModelConfig`.
 
 from __future__ import annotations
 
-from functools import partial
 from typing import Any
 
 import jax

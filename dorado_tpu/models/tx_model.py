@@ -27,7 +27,6 @@ TPU-first choices:
 
 from __future__ import annotations
 
-from functools import partial
 
 import jax
 import jax.numpy as jnp

@@ -9,7 +9,6 @@ from __future__ import annotations
 
 import ctypes
 import subprocess
-import sysconfig
 from dataclasses import dataclass
 from pathlib import Path
 

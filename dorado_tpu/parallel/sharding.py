@@ -18,7 +18,6 @@ placement, XLA chooses the collectives.
 
 from __future__ import annotations
 
-from functools import partial
 
 import jax
 import jax.numpy as jnp

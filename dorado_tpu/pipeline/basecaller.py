@@ -22,7 +22,7 @@ from pathlib import Path
 import numpy as np
 
 from dorado_tpu.basecall.runner import BasecallRunner
-from dorado_tpu.config import BasecallModelConfig, ScalingStrategy
+from dorado_tpu.config import BasecallModelConfig
 from dorado_tpu.io.pod5 import Pod5File, Pod5Read, find_pod5_files
 from dorado_tpu.io.sam import SamHeader, SamRecord, SamTag
 from dorado_tpu.signal.chunk import generate_chunks

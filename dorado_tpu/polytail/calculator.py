@@ -13,7 +13,7 @@ passes follow the reference's sequential semantics exactly.
 
 from __future__ import annotations
 
-from dataclasses import dataclass, field
+from dataclasses import dataclass
 
 import numpy as np
 

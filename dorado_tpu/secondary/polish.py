@@ -17,7 +17,7 @@ import jax
 import numpy as np
 
 from dorado_tpu.alignment.index import read_fasta
-from dorado_tpu.secondary.model import decode_consensus, gru_forward
+from dorado_tpu.secondary.model import gru_forward
 from dorado_tpu.secondary.pileup import AlignedRead, build_pileup
 
 
