@@ -1300,7 +1300,11 @@ def _add_correct(sub: argparse._SubParsersAction) -> None:
     p.add_argument("--min-depth", type=int, default=2)
     p.add_argument("--nn", action="store_true",
                    help="HERRO-style NN scorer at supported positions "
-                        "(random weights unless --model-params)")
+                        "(random weights unless --model-path)")
+    p.add_argument("--model-path", default=None,
+                   help="HERRO TorchScript model (e.g. herro-v1) run via "
+                        "the torch-CPU fallback scorer")
+    _add_common_opts(p)
     p.set_defaults(func=_run_correct)
 
 
@@ -1309,7 +1313,15 @@ def _run_correct(args: argparse.Namespace) -> int:
 
     records = _read_fastq(args.reads)
     reads = [(r.qname, r.seq) for r in records]
-    corrector = ReadCorrector(min_depth=args.min_depth, use_nn=args.nn)
+    nn_scorer = None
+    if args.model_path:
+        from dorado_tpu.correct.nn_model import TorchScriptScorer
+
+        nn_scorer = TorchScriptScorer(args.model_path)
+        print(f"> Loaded TorchScript scorer from {args.model_path}", file=sys.stderr)
+    corrector = ReadCorrector(
+        min_depth=args.min_depth, use_nn=args.nn, nn_scorer=nn_scorer
+    )
     corrected = corrector.correct(reads)
 
     fh = sys.stdout if args.output == "-" else open(args.output, "w")

@@ -33,7 +33,7 @@ class CorrectStats:
 class ReadCorrector:
     def __init__(self, min_depth: int = 2, min_overlap_reads: int = 2,
                  max_overlaps_per_read: int = 20, use_nn: bool = False,
-                 nn_params=None):
+                 nn_params=None, nn_scorer=None):
         """use_nn enables the HERRO-style path: window feature matrices +
         NN predictions at supported positions + majority decode elsewhere
         (correct/features.py, correct/nn_model.py). The default is the
@@ -41,9 +41,10 @@ class ReadCorrector:
         self.min_depth = min_depth
         self.min_overlap_reads = min_overlap_reads
         self.max_overlaps_per_read = max_overlaps_per_read
-        self.use_nn = use_nn
+        self.use_nn = use_nn or nn_scorer is not None
         self.nn_params = nn_params
-        if use_nn and nn_params is None:
+        self.nn_scorer = nn_scorer  # e.g. TorchScriptScorer for herro-v1
+        if use_nn and nn_params is None and nn_scorer is None:
             import jax
 
             from dorado_tpu.correct.nn_model import init_correction_model
@@ -110,7 +111,10 @@ class ReadCorrector:
         wf = get_features_for_window(
             target, np.full(len(target), 73.0, np.float32), wovs, 0, len(target)
         )
-        wf.inferred_bases = predict_supported(self.nn_params, wf)
+        if self.nn_scorer is not None:
+            wf.inferred_bases = self.nn_scorer.predict(wf)
+        else:
+            wf.inferred_bases = predict_supported(self.nn_params, wf)
         return decode_window(wf)
 
     def _consensus(self, target: str, ovl: list[AlignedRead]) -> str:

@@ -131,3 +131,32 @@ def predict_supported(params, wf, heads: int = 4) -> str:
     )[0]
     at = np.asarray(logits)[wf.indices]  # [S, 5]
     return "".join("ACGT*"[int(i)] for i in at.argmax(-1))
+
+
+class TorchScriptScorer:
+    """Executes an ONT-shipped HERRO TorchScript model (e.g. herro-v1) on
+    CPU torch, with the exact input contract of
+    CorrectionInferenceNode.cpp:247-283: (bases i32 [B, R, L] padded with
+    11, quals f32, lengths i32, list of per-window supported-index tensors);
+    output tuple element [1] holds the base logits at supported positions."""
+
+    def __init__(self, model_path: str):
+        import torch
+
+        self._torch = torch
+        self.module = torch.jit.load(model_path, map_location="cpu")
+        self.module.eval()
+
+    def predict(self, wf) -> str:
+        torch = self._torch
+        if not len(wf.indices):
+            return ""
+        bases = torch.from_numpy(wf.bases[None].astype("int32"))
+        quals = torch.from_numpy(wf.quals[None].astype("float32"))
+        lengths = torch.tensor([wf.bases.shape[1]], dtype=torch.int32)
+        indices = [torch.from_numpy(wf.indices.astype("int32"))]
+        with torch.no_grad():
+            out = self.module(bases, quals, lengths, indices)
+        logits = out[1] if isinstance(out, tuple) else out.toTuple()[1]
+        preds = logits.argmax(-1).cpu().numpy().reshape(-1)
+        return "".join("ACGT*"[int(i)] for i in preds[: len(wf.indices)])

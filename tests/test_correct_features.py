@@ -159,3 +159,34 @@ class TestNNPlumbing:
         assert len(corrected) == 6
         for name, seq in corrected.items():
             assert abs(len(seq) - 1500) < 30
+
+
+class TestTorchScriptScorer:
+    def test_contract(self, tmp_path):
+        torch = pytest.importorskip("torch")
+
+        from typing import List
+
+        class Fake(torch.nn.Module):
+            def forward(
+                self,
+                bases: torch.Tensor,
+                quals: torch.Tensor,
+                lengths: torch.Tensor,
+                indices: List[torch.Tensor],
+            ):
+                # predict 'C' (class 1) at every supported position
+                n = indices[0].shape[0]
+                logits = torch.zeros(n, 5)
+                logits[:, 1] = 5.0
+                return bases, logits
+
+        path = tmp_path / "fake.pt"
+        torch.jit.script(Fake()).save(str(path))
+
+        from dorado_tpu.correct.nn_model import TorchScriptScorer
+
+        scorer = TorchScriptScorer(str(path))
+        wf = make_window("ATGT", ["ACGT", "ACGT", "ACGT", "ATGT", "ATGT"])
+        preds = scorer.predict(wf)
+        assert preds == "C" * len(wf.supported)
