@@ -3,6 +3,7 @@ from dorado_tpu.polytail.calculator import (
     PolyTailConfig,
     RNAPolyTailCalculator,
     load_poly_tail_config,
+    load_poly_tail_configs,
     make_calculator,
 )
 
@@ -11,5 +12,6 @@ __all__ = [
     "PolyTailConfig",
     "RNAPolyTailCalculator",
     "load_poly_tail_config",
+    "load_poly_tail_configs",
     "make_calculator",
 ]

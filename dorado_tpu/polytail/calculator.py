@@ -402,15 +402,39 @@ def make_calculator(
 
 
 def load_poly_tail_config(path) -> PolyTailConfig:
-    """Parse a --poly-a-config TOML (poly_tail/poly_tail_config.cpp:20-100):
+    """Parse a --poly-a-config TOML; returns the default (non-barcode)
+    config. Use `load_poly_tail_configs` for per-barcode overrides."""
+    return load_poly_tail_configs(path)[""]
+
+
+def load_poly_tail_configs(path) -> dict:
+    """Parse a --poly-a-config TOML (poly_tail/poly_tail_config.cpp:20-127):
     [anchors] front/rear primers or plasmid flanks + windows, [threshold]
-    flank_threshold, [tail] tail_interrupt_length. Per-barcode [[overrides]]
-    return the DEFAULT config here (barcode-specific overrides: next round)."""
+    flank_threshold, [tail] tail_interrupt_length, plus per-barcode
+    [[overrides]] tables. Returns {barcode_id: config}; "" is the default."""
     import tomllib
 
     with open(path, "rb") as fh:
         raw = tomllib.load(fh)
-    cfg = PolyTailConfig()
+    default = _update_config(raw, PolyTailConfig())
+    if raw.get("barcode_id"):
+        raise ValueError("Default poly tail config must not specify barcode_id.")
+    configs = {"": default}
+    ids = set()
+    for override in raw.get("overrides", []):
+        bc = override.get("barcode_id", "")
+        if not bc:
+            raise ValueError("Missing barcode_id in override poly tail configuration.")
+        if bc in ids:
+            raise ValueError("Duplicate barcode_id found in poly tail config file.")
+        ids.add(bc)
+        import copy
+
+        configs[bc] = _update_config(override, copy.deepcopy(default))
+    return configs
+
+
+def _update_config(raw: dict, cfg: PolyTailConfig) -> PolyTailConfig:
     anchors = raw.get("anchors", {})
     has_primers = "front_primer" in anchors or "rear_primer" in anchors
     if has_primers:

@@ -46,3 +46,46 @@ def test_no_anchor_returns_empty():
     calc = make_calculator(is_rna=False)
     result = calc.calculate_num_bases(read)
     assert result.num_bases == -1
+
+
+class TestPolyTailConfigFile:
+    def test_parse_with_overrides(self, tmp_path):
+        p = tmp_path / "cfg.toml"
+        p.write_text(
+            '[anchors]\nfront_primer = "AAGGTT"\nrear_primer = "CCTTAA"\n'
+            'primer_window = 120\n'
+            '[threshold]\nflank_threshold = 0.7\n'
+            '[tail]\ntail_interrupt_length = 5\n'
+            '[[overrides]]\nbarcode_id = "barcode02"\n'
+            '[overrides.threshold]\nflank_threshold = 0.9\n'
+        )
+        from dorado_tpu.polytail import load_poly_tail_config, load_poly_tail_configs
+
+        cfgs = load_poly_tail_configs(p)
+        assert cfgs[""].front_primer == "AAGGTT"
+        assert cfgs[""].flank_threshold == 0.7
+        assert cfgs[""].tail_interrupt_length == 5
+        assert cfgs[""].primer_window == 120
+        # override inherits the default and changes one field
+        assert cfgs["barcode02"].flank_threshold == 0.9
+        assert cfgs["barcode02"].front_primer == "AAGGTT"
+        assert load_poly_tail_config(p).flank_threshold == 0.7
+
+    def test_plasmid_and_errors(self, tmp_path):
+        import pytest as _pytest
+
+        p = tmp_path / "cfg.toml"
+        p.write_text(
+            '[anchors]\nplasmid_front_flank = "ACGT"\nplasmid_rear_flank = "TTTT"\n'
+        )
+        from dorado_tpu.polytail import load_poly_tail_config
+        from dorado_tpu.polytail.calculator import load_poly_tail_configs
+
+        cfg = load_poly_tail_config(p)
+        assert cfg.is_plasmid and cfg.flank_threshold == 0.85
+        p.write_text('[anchors]\nfront_primer = "ACGT"\n')  # missing rear
+        with _pytest.raises(ValueError):
+            load_poly_tail_config(p)
+        p.write_text('[[overrides]]\nbarcode_id = ""\n')
+        with _pytest.raises(ValueError):
+            load_poly_tail_configs(p)
