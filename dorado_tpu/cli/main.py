@@ -1223,17 +1223,25 @@ def _run_variant(args: argparse.Namespace) -> int:
 
                 rm = build_read_matrix(window_reads, start, end)
                 logits = np.asarray(fn(params, rm.matrix[None]))[0]
-                if logits.ndim == 3:
-                    # diploid outputs: haplotype 0 drives the VCF (full
-                    # phased diploid VCF emission: next round)
-                    logits = logits[:, 0]
             else:
                 logits = np.asarray(fn(params, pile.counts[None]))[0]
             covered = pile.depth > 0
-            for v in call_variants(
-                seq, name, logits[covered], pile.positions_major[covered],
-                pile.positions_minor[covered],
-            ):
+            if logits.ndim == 3:
+                # diploid model output: phased GT records
+                from dorado_tpu.secondary.variant import call_variants_diploid
+
+                e = np.exp(logits - logits.max(-1, keepdims=True))
+                probs2 = e / e.sum(-1, keepdims=True)
+                vs = call_variants_diploid(
+                    seq, name, probs2[covered], pile.positions_major[covered],
+                    pile.positions_minor[covered],
+                )
+            else:
+                vs = call_variants(
+                    seq, name, logits[covered], pile.positions_major[covered],
+                    pile.positions_minor[covered],
+                )
+            for v in vs:
                 writer.write(v)
                 n_var += 1
     if args.output != "-":

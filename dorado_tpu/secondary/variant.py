@@ -136,3 +136,93 @@ class VcfWriter:
             f"{v.qual:.1f}\t{v.filter}\t.\t{fmt_keys}\t{fmt_vals}\n"
         )
         self.records_written += 1
+
+
+def call_variants_diploid(
+    draft: str,
+    contig: str,
+    probs2: np.ndarray,  # [P, 2, num_classes] per-haplotype probabilities
+    positions_major: np.ndarray,
+    positions_minor: np.ndarray,
+) -> list[Variant]:
+    """Diploid variant extraction from two-haplotype model output (the
+    SlotAttentionConsensus / VariantPerceiver heads): group pileup columns
+    where either haplotype's argmax differs from the draft, emit one VCF
+    record with a phased GT over the distinct alleles
+    (consensus/variant_calling.cpp diploid path semantics)."""
+    probs2 = np.asarray(probs2, dtype=np.float64)
+    classes = probs2.argmax(axis=-1)  # [P, 2]
+    n = len(classes)
+
+    variants: list[Variant] = []
+    i = 0
+    while i < n:
+        d_sym = "*" if positions_minor[i] > 0 else draft[positions_major[i]]
+        if SYMBOLS[classes[i, 0]] == d_sym and SYMBOLS[classes[i, 1]] == d_sym:
+            i += 1
+            continue
+        j = i
+        quals = []
+        while j < n:
+            d = "*" if positions_minor[j] > 0 else draft[positions_major[j]]
+            h0, h1 = SYMBOLS[classes[j, 0]], SYMBOLS[classes[j, 1]]
+            if h0 == d and h1 == d:
+                break
+            quals.append(float(probs2[j, 0, classes[j, 0]]))
+            quals.append(float(probs2[j, 1, classes[j, 1]]))
+            j += 1
+        ref_positions = [
+            int(positions_major[t]) for t in range(i, j) if positions_minor[t] == 0
+        ]
+        ref = "".join(draft[p] for p in ref_positions)
+        hap_seqs = [
+            "".join(SYMBOLS[classes[t, h]] for t in range(i, j)).replace("*", "")
+            for h in (0, 1)
+        ]
+        pos = ref_positions[0] if ref_positions else int(positions_major[i])
+        if not ref:
+            # pure insertion: anchor on the preceding major base
+            pos = int(positions_major[i])
+            ref = draft[pos]
+            hap_seqs = [ref + h for h in hap_seqs]
+        elif any(not h for h in hap_seqs):
+            # deletion on at least one haplotype: prepend the anchor base
+            if pos > 0:
+                anchor = draft[pos - 1]
+                ref = anchor + ref
+                hap_seqs = [anchor + h for h in hap_seqs]
+                pos -= 1
+            else:
+                i = j
+                continue
+
+        # allele table: 0 = REF, then distinct ALTs in haplotype order
+        alts: list[str] = []
+        gt_idx = []
+        for h in hap_seqs:
+            if h == ref:
+                gt_idx.append(0)
+            else:
+                if h not in alts:
+                    alts.append(h)
+                gt_idx.append(1 + alts.index(h))
+        if not alts:
+            i = j
+            continue
+        err = max(1e-10, 1.0 - float(np.mean(quals)) if quals else 0.5)
+        qual = min(70.0, -10.0 * np.log10(err))
+        variants.append(
+            Variant(
+                contig=contig,
+                pos=pos,
+                ref=ref,
+                alts=alts,
+                qual=float(qual),
+                genotype=[
+                    ("GT", f"{gt_idx[0]}|{gt_idx[1]}"),
+                    ("GQ", str(int(qual))),
+                ],
+            )
+        )
+        i = j
+    return variants

@@ -104,3 +104,61 @@ class TestPolishEndToEnd:
         # uncovered tail comes back verbatim
         assert out.endswith(draft[250:])
         assert pipe.stats.windows == 3
+
+
+class TestDiploidVariants:
+    def _probs(self, draft, hap0, hap1):
+        from dorado_tpu.secondary.model import SYMBOLS
+
+        p = len(draft)
+        probs = np.zeros((p, 2, 5), np.float32)
+        for i in range(p):
+            probs[i, 0, SYMBOLS.index(hap0[i])] = 0.9
+            probs[i, 1, SYMBOLS.index(hap1[i])] = 0.9
+        return probs
+
+    def test_het_snp(self):
+        from dorado_tpu.secondary.variant import call_variants_diploid
+
+        draft = "ACGTACGT"
+        hap0 = "ACGTACGT"
+        hap1 = "ACCTACGT"  # G->C at pos 2 on hap1 only
+        pm = np.arange(8)
+        vs = call_variants_diploid(
+            draft, "ctg", self._probs(draft, hap0, hap1), pm, np.zeros(8, int)
+        )
+        assert len(vs) == 1
+        v = vs[0]
+        assert (v.pos, v.ref, v.alts) == (2, "G", ["C"])
+        assert dict(v.genotype)["GT"] == "0|1"
+
+    def test_hom_alt_and_multiallelic(self):
+        from dorado_tpu.secondary.variant import call_variants_diploid
+
+        draft = "ACGT"
+        pm = np.arange(4)
+        # hom alt: both haps T at pos 1
+        vs = call_variants_diploid(
+            draft, "ctg", self._probs(draft, "ATGT", "ATGT"), pm, np.zeros(4, int)
+        )
+        assert dict(vs[0].genotype)["GT"] == "1|1"
+        # multiallelic het: hap0 T, hap1 A at pos 1
+        vs = call_variants_diploid(
+            draft, "ctg", self._probs(draft, "ATGT", "AAGT"), pm, np.zeros(4, int)
+        )
+        assert vs[0].alts == ["T", "A"]
+        assert dict(vs[0].genotype)["GT"] == "1|2"
+
+    def test_het_deletion(self):
+        from dorado_tpu.secondary.variant import call_variants_diploid
+
+        draft = "ACGT"
+        pm = np.arange(4)
+        vs = call_variants_diploid(
+            draft, "ctg", self._probs(draft, "AC*T", "ACGT"), pm, np.zeros(4, int)
+        )
+        assert len(vs) == 1
+        v = vs[0]
+        assert (v.pos, v.ref) == (1, "CG")
+        assert v.alts == ["C"]
+        assert dict(v.genotype)["GT"] == "1|0"
