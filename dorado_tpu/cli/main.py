@@ -1169,6 +1169,8 @@ def _add_variant(sub: argparse._SubParsersAction) -> None:
     p.add_argument("--regions", default=None,
                    help="Comma-separated contig[:start-end] regions to call")
     p.add_argument("--min-mapq", type=int, default=0)
+    p.add_argument("--gvcf", action="store_true",
+                   help="Emit homozygous-reference blocks between variants")
     _add_common_opts(p)
     p.set_defaults(func=_run_variant)
 
@@ -1203,7 +1205,7 @@ def _run_variant(args: argparse.Namespace) -> int:
     contigs = read_fasta(args.draft)
     regions = _parse_regions(args.regions)
     fh = sys.stdout if args.output == "-" else open(args.output, "w")
-    writer = VcfWriter(fh, [(n, len(s)) for n, s in contigs])
+    writer = VcfWriter(fh, [(n, len(s)) for n, s in contigs], gvcf=args.gvcf)
     n_var = 0
     for name, seq in contigs:
         if regions is not None and name not in regions:
@@ -1241,6 +1243,18 @@ def _run_variant(args: argparse.Namespace) -> int:
                     seq, name, logits[covered], pile.positions_major[covered],
                     pile.positions_minor[covered],
                 )
+            if args.gvcf:
+                # hom-ref blocks between variants within this window
+                cursor = start
+                for v in sorted(vs, key=lambda x: x.pos):
+                    if v.pos > cursor:
+                        writer.write_ref_block(name, cursor, v.pos, seq[cursor])
+                    writer.write(v)
+                    cursor = max(cursor, v.pos + len(v.ref))
+                if cursor < end:
+                    writer.write_ref_block(name, cursor, end, seq[cursor])
+                n_var += len(vs)
+                continue
             for v in vs:
                 writer.write(v)
                 n_var += 1

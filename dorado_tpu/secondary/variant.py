@@ -111,14 +111,21 @@ def _softmax(x: np.ndarray) -> np.ndarray:
 
 
 class VcfWriter:
-    """VCFv4.1 text writer (vcf_writer.cpp:40-90 header layout)."""
+    """VCFv4.1 text writer (vcf_writer.cpp:40-90 header layout). With
+    ``gvcf=True`` the header declares the END/MIN_DP fields used by
+    hom-reference blocks."""
 
-    def __init__(self, stream: TextIO, contigs: list[tuple[str, int]]):
+    def __init__(self, stream: TextIO, contigs: list[tuple[str, int]], gvcf: bool = False):
         self._fh = stream
         self._fh.write("##fileformat=VCFv4.1\n")
         for name, length in contigs:
             self._fh.write(f"##contig=<ID={name},length={length}>\n")
         self._fh.write('##FILTER=<ID=PASS,Description="All filters passed">\n')
+        if gvcf:
+            self._fh.write(
+                '##INFO=<ID=END,Number=1,Type=Integer,Description='
+                '"End position of the homozygous-reference block">\n'
+            )
         self._fh.write('##FORMAT=<ID=GT,Number=1,Type=String,Description="Genotype">\n')
         self._fh.write(
             '##FORMAT=<ID=GQ,Number=1,Type=Integer,Description="Genotype quality">\n'
@@ -127,6 +134,15 @@ class VcfWriter:
             "#CHROM\tPOS\tID\tREF\tALT\tQUAL\tFILTER\tINFO\tFORMAT\tSAMPLE\n"
         )
         self.records_written = 0
+
+    def write_ref_block(self, contig: str, start: int, end: int, ref_base: str,
+                        gq: int = 50) -> None:
+        """gVCF homozygous-reference block covering [start, end) (0-based)."""
+        self._fh.write(
+            f"{contig}\t{start + 1}\t.\t{ref_base}\t.\t.\tPASS\t"
+            f"END={end}\tGT:GQ\t0|0:{gq}\n"
+        )
+        self.records_written += 1
 
     def write(self, v: Variant) -> None:
         fmt_keys = ":".join(k for k, _ in v.genotype) or "GT"

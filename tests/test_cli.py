@@ -395,3 +395,15 @@ class TestCliSurface:
                 "-o", str(out),
             )
             assert r.returncode == 0, r.stderr
+
+    def test_variant_gvcf(self, ref_and_reads, tmp_path):
+        ref, reads = ref_and_reads
+        r = run_cli(
+            "variant", str(reads), str(ref), "--gvcf",
+            "-o", str(tmp_path / "g.vcf"),
+        )
+        assert r.returncode == 0, r.stderr
+        text = (tmp_path / "g.vcf").read_text()
+        assert "##INFO=<ID=END" in text
+        assert "END=" in text  # at least one hom-ref block
+        assert "0|0:" in text
