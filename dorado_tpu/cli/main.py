@@ -222,9 +222,11 @@ def _run_basecaller(args: argparse.Namespace) -> int:
 
     poly_a_config = None
     if getattr(args, "poly_a_config", None):
-        from dorado_tpu.polytail import load_poly_tail_config
+        from dorado_tpu.polytail import load_poly_tail_configs
 
-        poly_a_config = load_poly_tail_config(args.poly_a_config)
+        # full {barcode_id: config} dict so per-barcode [[overrides]] reach
+        # the pipeline's PolyTailCalculatorSelector
+        poly_a_config = load_poly_tail_configs(args.poly_a_config)
 
     batchsize = args.batchsize
     if batchsize == 0:
@@ -1170,7 +1172,11 @@ def _add_variant(sub: argparse._SubParsersAction) -> None:
                    help="Comma-separated contig[:start-end] regions to call")
     p.add_argument("--min-mapq", type=int, default=0)
     p.add_argument("--gvcf", action="store_true",
-                   help="Emit homozygous-reference blocks between variants")
+                   help="Emit a reference record for every position")
+    p.add_argument("--ambig-ref", action="store_true",
+                   help="Call variants over ambiguous reference bases")
+    p.add_argument("--pass-qual-filter", type=float, default=3.0,
+                   help="QUAL below this is marked LowQual (variant.cpp:105)")
     _add_common_opts(p)
     p.set_defaults(func=_run_variant)
 
@@ -1182,7 +1188,7 @@ def _run_variant(args: argparse.Namespace) -> int:
     from dorado_tpu.alignment.index import read_fasta
     from dorado_tpu.secondary.model import gru_forward, init_gru_params
     from dorado_tpu.secondary.pileup import build_pileup
-    from dorado_tpu.secondary.variant import VcfWriter, call_variants
+    from dorado_tpu.secondary.variant import VcfWriter
 
     by_contig = _collect_alignments(args)
     if by_contig is None:
@@ -1214,50 +1220,43 @@ def _run_variant(args: argparse.Namespace) -> int:
         r_start, r_end = span if span else (0, len(seq))
         r_end = len(seq) if r_end is None else min(r_end, len(seq))
         reads = by_contig.get(name, [])
+        # windows are processed with overlapping margins so events that
+        # span a window boundary are called once, by the window that owns
+        # their start position (trim_vc_samples / join_samples semantics,
+        # polish_impl.cpp:2388-2392)
+        margin = min(1000, args.window_len // 2)
         for start in range(r_start, r_end, args.window_len):
             end = min(r_end, start + args.window_len)
-            window_reads = [r for r in reads if r.ref_start < end]
-            pile = build_pileup(window_reads, start, end)
+            w_start = max(r_start, start - margin)
+            w_end = min(r_end, end + margin)
+            window_reads = [r for r in reads if r.ref_start < w_end]
+            pile = build_pileup(window_reads, w_start, w_end)
             if pile.depth.max(initial=0.0) == 0:
                 continue
             if feature_kind == "read_level":
                 from dorado_tpu.secondary.read_matrix import build_read_matrix
 
-                rm = build_read_matrix(window_reads, start, end)
+                rm = build_read_matrix(window_reads, w_start, w_end)
                 logits = np.asarray(fn(params, rm.matrix[None]))[0]
             else:
                 logits = np.asarray(fn(params, pile.counts[None]))[0]
             covered = pile.depth > 0
-            if logits.ndim == 3:
-                # diploid model output: phased GT records
-                from dorado_tpu.secondary.variant import call_variants_diploid
+            from dorado_tpu.secondary.variant import decode_variants
 
-                e = np.exp(logits - logits.max(-1, keepdims=True))
-                probs2 = e / e.sum(-1, keepdims=True)
-                vs = call_variants_diploid(
-                    seq, name, probs2[covered], pile.positions_major[covered],
-                    pile.positions_minor[covered],
-                )
-            else:
-                vs = call_variants(
-                    seq, name, logits[covered], pile.positions_major[covered],
-                    pile.positions_minor[covered],
-                )
-            if args.gvcf:
-                # hom-ref blocks between variants within this window
-                cursor = start
-                for v in sorted(vs, key=lambda x: x.pos):
-                    if v.pos > cursor:
-                        writer.write_ref_block(name, cursor, v.pos, seq[cursor])
-                    writer.write(v)
-                    cursor = max(cursor, v.pos + len(v.ref))
-                if cursor < end:
-                    writer.write_ref_block(name, cursor, end, seq[cursor])
-                n_var += len(vs)
-                continue
+            e = np.exp(logits - logits.max(-1, keepdims=True))
+            probs = e / e.sum(-1, keepdims=True)
+            vs = decode_variants(
+                seq, name, probs[covered], pile.positions_major[covered],
+                pile.positions_minor[covered],
+                min_qual=args.pass_qual_filter,
+                ambig_ref=args.ambig_ref,
+                return_all=args.gvcf,
+            )
             for v in vs:
-                writer.write(v)
-                n_var += 1
+                # only the owning window emits [start, end) records
+                if start <= v.pos < end:
+                    writer.write(v)
+                    n_var += 1
     if args.output != "-":
         fh.close()
     print(f"> Called {n_var} variant(s)", file=sys.stderr)

@@ -149,33 +149,103 @@ def decode_bam_record(block: bytes) -> SamRecord:
     )
 
 
-def read_bam(path: Path | str) -> BamFile:
-    raw = bgzf_decompress(Path(path).read_bytes())
-    if raw[:4] != b"BAM\x01":
+def _iter_bgzf_members(fh) -> Iterator[bytes]:
+    """Decompress a BGZF stream one gzip member at a time (constant memory)."""
+    while True:
+        hdr = fh.read(12)
+        if not hdr:
+            return
+        if len(hdr) < 12 or hdr[:2] != b"\x1f\x8b":
+            raise ValueError("bad BGZF magic")
+        xlen = struct.unpack_from("<H", hdr, 10)[0]
+        extra = fh.read(xlen)
+        bsize = None
+        epos = 0
+        while epos < len(extra):
+            si1, si2 = extra[epos], extra[epos + 1]
+            slen = struct.unpack_from("<H", extra, epos + 2)[0]
+            if si1 == 66 and si2 == 67:
+                bsize = struct.unpack_from("<H", extra, epos + 4)[0] + 1
+            epos += 4 + slen
+        if bsize is None:
+            raise ValueError("missing BGZF BC field")
+        rest = fh.read(bsize - 12 - xlen)
+        cdata = rest[:-8]
+        if cdata:
+            yield zlib.decompress(cdata, -15)
+
+
+class _BgzfStreamReader:
+    """read(n) over the concatenated decompressed BGZF members, holding at
+    most one member (≤64 KiB) in memory."""
+
+    def __init__(self, fh):
+        self._members = _iter_bgzf_members(fh)
+        self._buf = b""
+        self._off = 0
+
+    def read(self, n: int) -> bytes:
+        parts = []
+        need = n
+        while need:
+            avail = len(self._buf) - self._off
+            if avail == 0:
+                try:
+                    self._buf = next(self._members)
+                except StopIteration:
+                    break
+                self._off = 0
+                continue
+            take = min(avail, need)
+            parts.append(self._buf[self._off : self._off + take])
+            self._off += take
+            need -= take
+        return b"".join(parts)
+
+
+def stream_bam(fh) -> tuple[str, list[tuple[str, int]], Iterator[SamRecord]]:
+    """(header_text, references, lazy record iterator) over an open BAM
+    file object; records are decoded one at a time so the whole file is
+    never resident (the way htslib's bam_read1 loop behaves)."""
+    r = _BgzfStreamReader(fh)
+    if r.read(4) != b"BAM\x01":
         raise ValueError("not a BAM file")
-    l_text = struct.unpack_from("<i", raw, 4)[0]
-    text = raw[8 : 8 + l_text].decode()
-    p = 8 + l_text
-    n_ref = struct.unpack_from("<i", raw, p)[0]
-    p += 4
+    l_text = struct.unpack("<i", r.read(4))[0]
+    text = r.read(l_text).decode()
+    n_ref = struct.unpack("<i", r.read(4))[0]
     refs = []
     for _ in range(n_ref):
-        l_name = struct.unpack_from("<i", raw, p)[0]
-        name = raw[p + 4 : p + 4 + l_name - 1].decode()
-        l_ref = struct.unpack_from("<i", raw, p + 4 + l_name)[0]
+        l_name = struct.unpack("<i", r.read(4))[0]
+        name = r.read(l_name)[:-1].decode()
+        l_ref = struct.unpack("<i", r.read(4))[0]
         refs.append((name, l_ref))
-        p += 8 + l_name
-    bam = BamFile(header_text=text, references=refs)
-    # resolve reference names in records
-    while p < len(raw):
-        block_size = struct.unpack_from("<i", raw, p)[0]
-        rec = decode_bam_record(raw[p + 4 : p + 4 + block_size])
-        if rec.rname != "*":
-            idx = int(rec.rname)
-            rec.rname = refs[idx][0] if 0 <= idx < len(refs) else "*"
-        bam.records.append(rec)
-        p += 4 + block_size
-    return bam
+
+    def records() -> Iterator[SamRecord]:
+        while True:
+            raw_size = r.read(4)
+            if len(raw_size) < 4:
+                return
+            block_size = struct.unpack("<i", raw_size)[0]
+            rec = decode_bam_record(r.read(block_size))
+            if rec.rname != "*":
+                idx = int(rec.rname)
+                rec.rname = refs[idx][0] if 0 <= idx < len(refs) else "*"
+            yield rec
+
+    return text, refs, records()
+
+
+def iter_bam(path: Path | str) -> Iterator[SamRecord]:
+    """Stream records from a BAM path without materialising the file."""
+    with open(path, "rb") as fh:
+        _, _, records = stream_bam(fh)
+        yield from records
+
+
+def read_bam(path: Path | str) -> BamFile:
+    with open(path, "rb") as fh:
+        text, refs, records = stream_bam(fh)
+        return BamFile(header_text=text, references=refs, records=list(records))
 
 
 def iter_sam(path: Path | str) -> Iterator[SamRecord]:

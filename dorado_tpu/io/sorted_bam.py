@@ -16,7 +16,7 @@ import tempfile
 from pathlib import Path
 from typing import BinaryIO
 
-from dorado_tpu.io.bam_reader import read_bam
+from dorado_tpu.io.bam_reader import iter_bam
 from dorado_tpu.io.sam import BamWriter, SamHeader, SamRecord
 
 UNMAPPED_TID = (1 << 31) - 1  # unmapped records sort last
@@ -81,7 +81,9 @@ class SortedBamWriter:
         self._flush_run()
 
         def run_iter(path: Path, run_idx: int):
-            for rec in read_bam(path).records:
+            # stream one record at a time: peak memory at merge is one
+            # in-flight record per run, not the whole dataset
+            for rec in iter_bam(path):
                 yield sorting_key(rec, self._ref_order), run_idx, rec
 
         for _, _, rec in heapq.merge(

@@ -84,7 +84,10 @@ def generate_modbase_tags(
         raise ValueError("base_mod_probs size mismatch")
 
     contexts = _decode_context(info.context) if info.context else [None] * 4
-    base_has_context = [c is not None for c in contexts]
+    # a single-base motif is equivalent to no context for the MM flag:
+    # '.' instead of '?' (messages.cpp:212-214), though its (trivial) motif
+    # mask and the update_mask skip still apply (ModBaseContext.cpp:115-119)
+    base_has_context = [c is not None and len(c[0]) > 1 for c in contexts]
 
     if motif_hits is not None and len(motif_hits):
         mask = np.asarray(motif_hits, dtype=bool).copy()

@@ -133,12 +133,16 @@ class BasecallerPipeline:
             # simplex pipeline uses the reduced finder set (ReadSplitNode in
             # simplex mode, pipeline_creation.cpp:84-99)
             self.read_splitter.settings.simplex_mode = True
-        self.poly_tail_calculator = None
+        # per-barcode calculator selection (PolyTailCalculatorSelector keyed
+        # on the read's classified barcode, PolyACalculatorNode.cpp:46);
+        # poly_a_config may be a single PolyTailConfig or a {barcode: config}
+        # dict from load_poly_tail_configs()
+        self.poly_tail_selector = None
         if estimate_poly_a:
-            from dorado_tpu.polytail import make_calculator
+            from dorado_tpu.polytail import PolyTailCalculatorSelector
 
-            self.poly_tail_calculator = make_calculator(
-                config=poly_a_config,
+            self.poly_tail_selector = PolyTailCalculatorSelector(
+                poly_a_config,
                 is_rna=config.is_rna_model,
                 speed=config.polya_speed_correction,
                 offset=config.polya_offset_correction,
@@ -436,10 +440,13 @@ class BasecallerPipeline:
                         t.value = len(s_signal) / float(max(1, sample_rate))
             if self.modbase_caller is not None and len(s_seq):
                 self._add_modbase_tags(rec, s_seq, s_moves, s_signal)
+            barcode = None
             if self.barcode_classifier is not None and len(s_seq):
-                self._add_barcode_tags(rec, s_seq)
-            if self.poly_tail_calculator is not None and len(s_seq):
-                self._add_poly_a_tags(rec, wr, s_seq, s_moves)
+                barcode = self._add_barcode_tags(rec, s_seq)
+            if self.poly_tail_selector is not None and len(s_seq):
+                calculator = self.poly_tail_selector.get_calculator(barcode)
+                if calculator is not None:
+                    self._add_poly_a_tags(calculator, rec, wr, s_seq, s_moves)
             if self.min_qscore > 0:
                 qs = next((t.value for t in rec.tags if t.tag == "qs"), 0.0)
                 if qs < self.min_qscore:
@@ -448,10 +455,10 @@ class BasecallerPipeline:
             records.append(rec)
         return records
 
-    def _add_poly_a_tags(self, rec, wr, seq, moves) -> None:
+    def _add_poly_a_tags(self, calculator, rec, wr, seq, moves) -> None:
         from dorado_tpu.polytail.calculator import ReadContext
 
-        result = self.poly_tail_calculator.calculate_num_bases(
+        result = calculator.calculate_num_bases(
             ReadContext(
                 seq=seq,
                 moves=np.asarray(moves),
@@ -475,7 +482,7 @@ class BasecallerPipeline:
         )
         rec.tags.append(SamTag("pa", "B", pa, subtype="i"))
 
-    def _add_barcode_tags(self, rec, seq) -> None:
+    def _add_barcode_tags(self, rec, seq) -> str:
         from dorado_tpu.demux.barcoder import UNCLASSIFIED, normalize_barcode_name
 
         result = self.barcode_classifier.classify(
@@ -500,6 +507,7 @@ class BasecallerPipeline:
                 if t.tag == "RG":
                     t.value = f"{t.value}_{bc}"
         rec.tags.append(SamTag("BC", "Z", bc))
+        return bc
 
     def _add_modbase_tags(self, rec, seq, moves, scaled_signal) -> None:
         from dorado_tpu.modbase.tags import (

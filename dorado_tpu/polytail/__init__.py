@@ -1,5 +1,6 @@
 from dorado_tpu.polytail.calculator import (
     DNAPolyTailCalculator,
+    PolyTailCalculatorSelector,
     PolyTailConfig,
     RNAPolyTailCalculator,
     load_poly_tail_config,
@@ -9,6 +10,7 @@ from dorado_tpu.polytail.calculator import (
 
 __all__ = [
     "DNAPolyTailCalculator",
+    "PolyTailCalculatorSelector",
     "PolyTailConfig",
     "RNAPolyTailCalculator",
     "load_poly_tail_config",

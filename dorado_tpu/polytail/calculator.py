@@ -37,6 +37,9 @@ class PolyTailConfig:
     tail_interrupt_length: int = 0
     min_base_count: int = 10
     rna_offset: int = 10
+    # [status] enabled=false disables estimation for this (barcode's) config
+    # (poly_tail_config.cpp:25-30, PolyTailCalculator::enabled)
+    enabled: bool = True
 
     @property
     def rc_front_primer(self) -> str:
@@ -401,6 +404,45 @@ def make_calculator(
     return DNAPolyTailCalculator(config, speed, offset)
 
 
+class PolyTailCalculatorSelector:
+    """Per-barcode calculator selection (poly_tail_calculator_selector.cpp:46-82).
+
+    Keys are full barcode ids like "SQK-PCB114-24_barcode01" (the read's
+    classified barcode string, PolyACalculatorNode.cpp:46). When any
+    barcode-specific overrides exist, unclassified reads get NO calculator —
+    better no result than a wrong one (selector :63-65). A config with
+    [status] enabled=false also yields None.
+    """
+
+    def __init__(
+        self,
+        configs: dict | PolyTailConfig | None = None,
+        is_rna: bool = False,
+        is_rna_adapter: bool = False,
+        speed: float | None = None,
+        offset: float | None = None,
+    ):
+        if configs is None or isinstance(configs, PolyTailConfig):
+            configs = {"": configs}
+
+        def mk(cfg):
+            return make_calculator(cfg, is_rna, is_rna_adapter, speed, offset)
+
+        self._default = mk(configs.get(""))
+        self._lut = {k: mk(cfg) for k, cfg in configs.items() if k}
+
+    def get_calculator(self, barcode: str | None = None) -> PolyTailCalculator | None:
+        from dorado_tpu.demux.barcoder import UNCLASSIFIED
+
+        if barcode in self._lut:
+            calc = self._lut[barcode]
+        elif barcode == UNCLASSIFIED and self._lut:
+            return None
+        else:
+            calc = self._default
+        return calc if calc.config.enabled else None
+
+
 def load_poly_tail_config(path) -> PolyTailConfig:
     """Parse a --poly-a-config TOML; returns the default (non-barcode)
     config. Use `load_poly_tail_configs` for per-barcode overrides."""
@@ -467,4 +509,7 @@ def _update_config(raw: dict, cfg: PolyTailConfig) -> PolyTailConfig:
     tail = raw.get("tail", {})
     if "tail_interrupt_length" in tail:
         cfg.tail_interrupt_length = int(tail["tail_interrupt_length"])
+    status = raw.get("status", {})
+    if "enabled" in status:
+        cfg.enabled = bool(status["enabled"])
     return cfg

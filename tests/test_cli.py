@@ -404,6 +404,12 @@ class TestCliSurface:
         )
         assert r.returncode == 0, r.stderr
         text = (tmp_path / "g.vcf").read_text()
-        assert "##INFO=<ID=END" in text
-        assert "END=" in text  # at least one hom-ref block
-        assert "0|0:" in text
+        # per-position reference records (general_decode_variants return_all):
+        # ALT '.', FILTER '.', GT 0 with a model-derived GQ
+        ref_records = [
+            l.split("\t") for l in text.splitlines()
+            if not l.startswith("#") and l.split("\t")[4] == "."
+        ]
+        assert len(ref_records) > 1
+        assert all(f[6] == "." for f in ref_records)
+        assert all(f[9].startswith("0:") for f in ref_records)

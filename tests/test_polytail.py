@@ -89,3 +89,54 @@ class TestPolyTailConfigFile:
         p.write_text('[[overrides]]\nbarcode_id = ""\n')
         with _pytest.raises(ValueError):
             load_poly_tail_configs(p)
+
+
+class TestPolyTailSelector:
+    """PolyTailCalculatorSelector semantics (poly_tail_calculator_selector.cpp:46-82)."""
+
+    def _configs(self):
+        from dorado_tpu.polytail import PolyTailConfig
+
+        default = PolyTailConfig(primer_window=150)
+        bc1 = PolyTailConfig(primer_window=99)
+        disabled = PolyTailConfig(enabled=False)
+        return {"": default, "SQK-PCB114-24_barcode01": bc1,
+                "SQK-PCB114-24_barcode02": disabled}
+
+    def test_barcode_lookup_and_default(self):
+        from dorado_tpu.polytail import PolyTailCalculatorSelector
+
+        sel = PolyTailCalculatorSelector(self._configs())
+        assert sel.get_calculator("SQK-PCB114-24_barcode01").config.primer_window == 99
+        # unknown barcode falls back to the default config
+        assert sel.get_calculator("SQK-PCB114-24_barcode07").config.primer_window == 150
+        # no barcode at all (barcoding not run) -> default
+        assert sel.get_calculator(None).config.primer_window == 150
+
+    def test_unclassified_with_overrides_gets_none(self):
+        from dorado_tpu.demux.barcoder import UNCLASSIFIED
+        from dorado_tpu.polytail import PolyTailCalculatorSelector
+
+        sel = PolyTailCalculatorSelector(self._configs())
+        assert sel.get_calculator(UNCLASSIFIED) is None
+        # ...but with no overrides, unclassified uses the default
+        sel2 = PolyTailCalculatorSelector(None)
+        assert sel2.get_calculator(UNCLASSIFIED) is not None
+
+    def test_disabled_config_gets_none(self):
+        from dorado_tpu.polytail import PolyTailCalculatorSelector
+
+        sel = PolyTailCalculatorSelector(self._configs())
+        assert sel.get_calculator("SQK-PCB114-24_barcode02") is None
+
+    def test_status_enabled_parsed(self, tmp_path):
+        p = tmp_path / "cfg.toml"
+        p.write_text(
+            '[[overrides]]\nbarcode_id = "kit_barcode01"\n'
+            '[overrides.status]\nenabled = false\n'
+        )
+        from dorado_tpu.polytail import load_poly_tail_configs
+
+        cfgs = load_poly_tail_configs(p)
+        assert cfgs[""].enabled is True
+        assert cfgs["kit_barcode01"].enabled is False

@@ -130,7 +130,7 @@ class TestDiploidVariants:
         assert len(vs) == 1
         v = vs[0]
         assert (v.pos, v.ref, v.alts) == (2, "G", ["C"])
-        assert dict(v.genotype)["GT"] == "0|1"
+        assert dict(v.genotype)["GT"] == "0/1"  # unphased sorted alleles (normalize_genotype)
 
     def test_hom_alt_and_multiallelic(self):
         from dorado_tpu.secondary.variant import call_variants_diploid
@@ -141,13 +141,13 @@ class TestDiploidVariants:
         vs = call_variants_diploid(
             draft, "ctg", self._probs(draft, "ATGT", "ATGT"), pm, np.zeros(4, int)
         )
-        assert dict(vs[0].genotype)["GT"] == "1|1"
+        assert dict(vs[0].genotype)["GT"] == "1/1"
         # multiallelic het: hap0 T, hap1 A at pos 1
         vs = call_variants_diploid(
             draft, "ctg", self._probs(draft, "ATGT", "AAGT"), pm, np.zeros(4, int)
         )
-        assert vs[0].alts == ["T", "A"]
-        assert dict(vs[0].genotype)["GT"] == "1|2"
+        assert vs[0].alts == ["A", "T"]  # alts stably sorted (normalize_genotype)
+        assert dict(vs[0].genotype)["GT"] == "1/2"
 
     def test_het_deletion(self):
         from dorado_tpu.secondary.variant import call_variants_diploid
@@ -161,4 +161,4 @@ class TestDiploidVariants:
         v = vs[0]
         assert (v.pos, v.ref) == (1, "CG")
         assert v.alts == ["C"]
-        assert dict(v.genotype)["GT"] == "1|0"
+        assert dict(v.genotype)["GT"] == "0/1"
