@@ -255,15 +255,32 @@ def beam_search_device(
         out = (k_state.astype(jnp.int32), k_parent.astype(jnp.int8), k_stay)
         return (k_state, k_hash, next_score, raw_score), out
 
+    # time-blocked scan: lax.scan costs ~20us/iteration regardless of body,
+    # so advance several timesteps per iteration (identical math/results)
+    from dorado_tpu.ops.crf_scan import _scan_block
+
+    block = _scan_block(t_len, 8)
+
+    def blocked_step(carry, xs_blk):
+        sc_blk, bg_blk = xs_blk
+        outs = []
+        for k in range(block):
+            carry, out = step(carry, (sc_blk[k], bg_blk[k]))
+            outs.append(out)
+        return carry, tuple(jnp.stack(o) for o in zip(*outs))
+
     xs = (
-        scores_tnc.reshape(t_len, n, r, 16),
-        back_guide[1:].reshape(t_len, n, r, 4),
+        scores_tnc.reshape(t_len // block, block, n, r, 16),
+        back_guide[1:].reshape(t_len // block, block, n, r, 4),
     )
     (_, _, _, final_score), (hist_state, hist_parent, hist_stay) = jax.lax.scan(
-        step,
+        blocked_step,
         (beam_state0, beam_hash0, beam_score0, beam_score0),
         xs,
     )
+    hist_state = hist_state.reshape(t_len, n, w)
+    hist_parent = hist_parent.reshape(t_len, n, w)
+    hist_stay = hist_stay.reshape(t_len, n, w)
 
     # ---- traceback from the best final element (reverse-time scan; no
     # materialised history flips) ----
@@ -276,9 +293,28 @@ def beam_search_device(
         pa = jnp.take_along_axis(h_parent.astype(jnp.int32), elem[:, None], axis=1)[:, 0]
         return pa, (st, jnp.where(sy, 0, 1).astype(jnp.uint8))
 
+    def back_blocked(elem, hs_blk):
+        sts, mvs = [], []
+        for k in reversed(range(block)):
+            elem, (st, mv) = back(
+                elem, tuple(h[k] for h in hs_blk)
+            )
+            sts.append(st)
+            mvs.append(mv)
+        # emitted newest-first inside the block; flip to time order
+        return elem, (jnp.stack(sts[::-1]), jnp.stack(mvs[::-1]))
+
     _, (states_t, moves_t) = jax.lax.scan(
-        back, best0, (hist_state, hist_parent, hist_stay), reverse=True
+        back_blocked,
+        best0,
+        tuple(
+            h.reshape(t_len // block, block, n, w)
+            for h in (hist_state, hist_parent, hist_stay)
+        ),
+        reverse=True,
     )
+    states_t = states_t.reshape(t_len, n)
+    moves_t = moves_t.reshape(t_len, n)
     states = states_t.swapaxes(0, 1)  # [N, T]
     moves = moves_t.swapaxes(0, 1)
     moves = moves.at[:, 0].set(1)

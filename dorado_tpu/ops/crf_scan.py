@@ -42,29 +42,66 @@ def successor_index(num_states: int) -> np.ndarray:
     return (((s[:, None] << 2) | b[None, :]) & (num_states - 1)).astype(np.int32)
 
 
+def _scan_block(t_len: int, max_block: int = 16) -> int:
+    """Largest divisor of t_len <= max_block (time-blocking factor)."""
+    for b in range(min(max_block, t_len), 0, -1):
+        if t_len % b == 0:
+            return b
+    return 1
+
+
 @partial(jax.jit, static_argnames=("reverse",))
-def _lse_scan(scores_step: jnp.ndarray, stay_score: float, idx: jnp.ndarray,
+def _lse_scan(scores_tnc: jnp.ndarray, stay_score: float, idx: jnp.ndarray,
               gather_flat: jnp.ndarray, reverse: bool) -> jnp.ndarray:
-    """Shared forward/backward LSE scan.
+    """Shared forward/backward LSE scan, computed in exp space.
 
-    scores_step: [T, N, S, 4] step-transition scores (already permuted for the
-    chosen direction); idx: [S, 4] source-state gather; gather_flat selects
-    nothing extra here but keeps the signature uniform.
+    scores_tnc: [T, N, C] raw transition scores; idx: [S, 4] source-state
+    gather for the carry; gather_flat: [S, 4] flat indices into C selecting
+    each state's 4 step-transition scores for the chosen direction (the
+    identity reshape for forward; the out-transition permutation for
+    backward, applied per-step inside the body so no [T, N, S, 4] permuted
+    copy is ever materialised in HBM).
+
+    Two throughput tricks (together ~an order of magnitude over the naive
+    per-step LSE on TPU):
+
+    - **exp space**: each transition score is consumed exactly once, so
+      ``exp(scores)`` is hoisted out of the scan as one fully-parallel pass.
+      The step body then only exponentiates the carry ``alpha`` [N, S] and
+      takes one log, instead of exp over the [N, S, 4] stepped block — the
+      VPU transcendental count per step drops ~5x. Stability comes from a
+      per-row max subtraction; states further than ~87 nats below their
+      row's best underflow to -inf, which is harmless downstream (their
+      posterior mass is < 1e-37 and the softmax/beam treat -inf correctly).
+
+    - **time blocking**: each `lax.scan` iteration advances `block` timesteps
+      with an unrolled inner body, dividing the ~20us/iteration scan floor.
     """
-    t_len, n, s, _ = scores_step.shape
+    t_len, n, c = scores_tnc.shape
+    s = c // 4
+    block = _scan_block(t_len)
+    stay_factor = jnp.exp(jnp.asarray(stay_score, scores_tnc.dtype))
 
-    def step(alpha, ms_t):
-        # ms_t: [N, S, 4]; alpha: [N, S]
-        stepped = alpha[:, idx] + ms_t  # [N, S, 4]
-        stay = alpha + stay_score  # [N, S]
-        m = jnp.maximum(jnp.max(stepped, axis=-1), stay)
-        summed = jnp.sum(jnp.exp(stepped - m[..., None]), axis=-1) + jnp.exp(stay - m)
-        new_alpha = m + jnp.log(summed)
-        return new_alpha, new_alpha
+    def one_step(alpha, es_t):
+        # es_t: [N, C] = exp(raw scores at t); alpha: [N, S] log domain
+        m = jnp.max(alpha, axis=-1, keepdims=True)  # [N, 1]
+        ea = jnp.exp(alpha - m)  # [N, S]
+        es = es_t[:, gather_flat]  # [N, S, 4] constant-index gather
+        stepped = jnp.sum(ea[:, idx] * es, axis=-1)  # [N, S]
+        return m + jnp.log(stepped + ea * stay_factor)
 
-    init = jnp.zeros((n, s), scores_step.dtype)
-    xs = jnp.flip(scores_step, axis=0) if reverse else scores_step
-    _, hist = jax.lax.scan(step, init, xs)
+    def step(alpha, es_blk):
+        outs = []
+        for k in range(block):
+            alpha = one_step(alpha, es_blk[k])
+            outs.append(alpha)
+        return alpha, jnp.stack(outs)
+
+    init = jnp.zeros((n, s), scores_tnc.dtype)
+    xs = jnp.flip(scores_tnc, axis=0) if reverse else scores_tnc
+    exp_xs = jnp.exp(xs)  # hoisted: one elementwise pass over [T, N, C]
+    _, hist = jax.lax.scan(step, init, exp_xs.reshape(t_len // block, block, n, c))
+    hist = hist.reshape(t_len, n, s)
     hist = jnp.concatenate([init[None], hist], axis=0)  # [T+1, N, S]
     if reverse:
         hist = jnp.flip(hist, axis=0)
@@ -75,9 +112,11 @@ def forward_scores(scores_tnc: jnp.ndarray, fixed_stay_score: float) -> jnp.ndar
     """alpha over time: [T, N, C] transition scores -> [T+1, N, S] f32."""
     t_len, n, c = scores_tnc.shape
     num_states = c // 4
-    ms = scores_tnc.reshape(t_len, n, num_states, 4).astype(jnp.float32)
     idx = jnp.asarray(predecessor_index(num_states))
-    return _lse_scan(ms, fixed_stay_score, idx, idx, reverse=False)
+    flat = jnp.arange(c, dtype=jnp.int32).reshape(num_states, 4)
+    return _lse_scan(
+        scores_tnc.astype(jnp.float32), fixed_stay_score, idx, flat, reverse=False
+    )
 
 
 def backward_scores(scores_tnc: jnp.ndarray, fixed_stay_score: float) -> jnp.ndarray:
@@ -95,9 +134,14 @@ def backward_scores(scores_tnc: jnp.ndarray, fixed_stay_score: float) -> jnp.nda
     oldest = (np.arange(num_states) >> (2 * (state_len - 1))).astype(np.int32)
     out_flat = (succ * 4 + oldest[:, None]).astype(np.int32)  # [S, 4]
 
-    ms_out = scores_tnc.astype(jnp.float32)[:, :, out_flat]  # [T, N, S, 4]
     succ_j = jnp.asarray(succ)
-    return _lse_scan(ms_out, fixed_stay_score, succ_j, succ_j, reverse=True)
+    return _lse_scan(
+        scores_tnc.astype(jnp.float32),
+        fixed_stay_score,
+        succ_j,
+        jnp.asarray(out_flat),
+        reverse=True,
+    )
 
 
 def posterior_scores(
@@ -122,8 +166,9 @@ def viterbi_path(scores_tnc: jnp.ndarray, fixed_stay_score: float) -> tuple[jnp.
     num_states = c // 4
     ms = scores_tnc.reshape(t_len, n, num_states, 4).astype(jnp.float32)
     idx = jnp.asarray(predecessor_index(num_states))
+    block = _scan_block(t_len)
 
-    def fwd_step(alpha, ms_t):
+    def fwd_one(alpha, ms_t):
         stepped = alpha[:, idx] + ms_t  # [N, S, 4]
         stay = alpha + fixed_stay_score  # [N, S]
         best_step = jnp.max(stepped, axis=-1)
@@ -134,12 +179,22 @@ def viterbi_path(scores_tnc: jnp.ndarray, fixed_stay_score: float) -> tuple[jnp.
         choice = jnp.where(is_stay, 4, best_r).astype(jnp.int8)
         return new_alpha, choice
 
+    def fwd_step(alpha, ms_blk):
+        outs = []
+        for k in range(block):
+            alpha, choice = fwd_one(alpha, ms_blk[k])
+            outs.append(choice)
+        return alpha, jnp.stack(outs)
+
     init = jnp.zeros((n, num_states), jnp.float32)
-    final_alpha, choices = jax.lax.scan(fwd_step, init, ms)  # choices [T, N, S]
+    final_alpha, choices = jax.lax.scan(
+        fwd_step, init, ms.reshape(t_len // block, block, n, num_states, 4)
+    )
+    choices = choices.reshape(t_len, n, num_states)  # [T, N, S]
 
     last_state = jnp.argmax(final_alpha, axis=-1).astype(jnp.int32)  # [N]
 
-    def back_step(state, choice_t):
+    def back_one(state, choice_t):
         # choice_t: [N, S]
         ch = jnp.take_along_axis(choice_t, state[:, None], axis=1)[:, 0]  # [N]
         stayed = ch == 4
@@ -151,9 +206,21 @@ def viterbi_path(scores_tnc: jnp.ndarray, fixed_stay_score: float) -> tuple[jnp.
         move = jnp.where(stayed, 0, 1).astype(jnp.uint8)
         return prev, (state, move)
 
+    def back_step(state, choice_blk):
+        sts, mvs = [], []
+        for k in range(block):
+            state, (st, mv) = back_one(state, choice_blk[k])
+            sts.append(st)
+            mvs.append(mv)
+        return state, (jnp.stack(sts), jnp.stack(mvs))
+
     _, (states_rev, moves_rev) = jax.lax.scan(
-        back_step, last_state, jnp.flip(choices, axis=0)
+        back_step,
+        last_state,
+        jnp.flip(choices, axis=0).reshape(t_len // block, block, n, num_states),
     )
+    states_rev = states_rev.reshape(t_len, n)
+    moves_rev = moves_rev.reshape(t_len, n)
     states = jnp.flip(states_rev, axis=0)
     moves = jnp.flip(moves_rev, axis=0)
     moves = moves.at[0].set(1)

@@ -15,6 +15,7 @@ ScalerNode.cpp:143-270), BasecallerNode chunking/stitch (BasecallerNode.cpp:
 
 from __future__ import annotations
 
+import threading
 import time
 from dataclasses import dataclass, field
 from pathlib import Path
@@ -158,6 +159,7 @@ class BasecallerPipeline:
             is_rna=config.is_rna_model or force_rna_adapter_trim,
         )
         self.stats = PipelineStats()
+        self._stats_lock = threading.Lock()
 
         # one batching lane per configured chunk size ({T, T/2})
         self._lanes = [
@@ -283,56 +285,75 @@ class BasecallerPipeline:
         scale_pa = read.calibration_scale * result.scale
         return scaled.astype(np.float32), trim_start, shift_pa, scale_pa, strategy.value
 
-    def _feed_read(self, read: Pod5Read, flush_cb) -> None:
+    def _gate_read(self, read: Pod5Read) -> bool:
+        """--read-ids/--max-reads/resume-skip admission (main thread only)."""
         if read.read_id in self.skip_read_ids:
-            return
+            return False
         if self.only_read_ids is not None and read.read_id not in self.only_read_ids:
-            return
+            return False
         if self.max_reads is not None and self._reads_fed >= self.max_reads:
-            return
+            return False
         self._reads_fed += 1
+        return True
+
+    def _prepare_read(self, read: Pod5Read) -> list[_WorkingRead]:
+        """RNA signal-split + scale/trim + chunk layout. Thread-safe: touches
+        no pipeline state, so the run loop fans it out on the scale pool
+        (the reference's ScalerNode worker threads, ScalerNode.cpp:143)."""
+        subreads = [read]
         if self.rna_splitter is not None:
             ranges = self.rna_splitter.split(read.signal)
             if len(ranges) > 1:
                 import dataclasses
 
-                for i, (s, e) in enumerate(ranges):
-                    sub = dataclasses.replace(
+                subreads = [
+                    dataclasses.replace(
                         read,
                         read_id=f"{read.read_id}:{i}",
                         signal=read.signal[s:e],
                         read_number=-1,
                         start_sample=read.start_sample + s,
                     )
-                    self._feed_single(sub, flush_cb)
-                return
-        self._feed_single(read, flush_cb)
+                    for i, (s, e) in enumerate(ranges)
+                ]
+        out = []
+        for sub in subreads:
+            scaled, trimmed, shift_pa, scale_pa, method = self._scale_and_trim(sub)
+            if len(scaled) == 0:
+                continue
+            offsets = generate_chunks(
+                len(scaled), self.runner.chunk_size, self.config.stride, self.overlap
+            )
+            sizes = [min(self.runner.chunk_size, len(scaled) - off) for off in offsets]
+            wr = _WorkingRead(
+                read=sub,
+                scaled=scaled,
+                num_trimmed=trimmed,
+                shift_pa=shift_pa,
+                scale_pa=scale_pa,
+                scaling_method=method,
+                offsets=offsets,
+                chunk_sizes=sizes,
+            )
+            wr.results = [None] * len(offsets)
+            wr.pending = len(offsets)
+            out.append(wr)
+        return out
 
-    def _feed_single(self, read: Pod5Read, flush_cb) -> None:
-        scaled, trimmed, shift_pa, scale_pa, method = self._scale_and_trim(read)
-        if len(scaled) == 0:
+    def _feed_read(self, read: Pod5Read, flush_cb) -> None:
+        """Inline (unthreaded) admission + prep + feed; duplex feeds here."""
+        if not self._gate_read(read):
             return
-        offsets = generate_chunks(
-            len(scaled), self.runner.chunk_size, self.config.stride, self.overlap
-        )
-        sizes = [min(self.runner.chunk_size, len(scaled) - off) for off in offsets]
-        wr = _WorkingRead(
-            read=read,
-            scaled=scaled,
-            num_trimmed=trimmed,
-            shift_pa=shift_pa,
-            scale_pa=scale_pa,
-            scaling_method=method,
-            offsets=offsets,
-            chunk_sizes=sizes,
-        )
-        wr.results = [None] * len(offsets)
-        wr.pending = len(offsets)
-        self.stats.samples_processed += len(scaled)
-        for ci, off in enumerate(offsets):
-            lane = self._lanes[self.runner.lane_for(sizes[ci])]
+        for wr in self._prepare_read(read):
+            self._feed_prepared(wr, flush_cb)
+
+    def _feed_prepared(self, wr: _WorkingRead, flush_cb) -> None:
+        self.stats.samples_processed += len(wr.scaled)
+        for ci, off in enumerate(wr.offsets):
+            size = wr.chunk_sizes[ci]
+            lane = self._lanes[self.runner.lane_for(size)]
             idx = len(lane["batch"])
-            self.runner.accept_chunk(lane["buffer"], idx, scaled[off : off + sizes[ci]])
+            self.runner.accept_chunk(lane["buffer"], idx, wr.scaled[off : off + size])
             lane["batch"].append((wr, ci))
             if len(lane["batch"]) == self.runner.batch_size:
                 flush_cb()
@@ -418,8 +439,9 @@ class BasecallerPipeline:
 
         records = []
         for i, (s_seq, s_q, s_moves, s_signal, split_point) in enumerate(parts):
-            self.stats.reads_called += 1
-            self.stats.bases_called += len(s_seq)
+            with self._stats_lock:
+                self.stats.reads_called += 1
+                self.stats.bases_called += len(s_seq)
             rec = self._make_record(wr, s_seq, s_q, s_moves)
             if len(parts) > 1:
                 # split subreads: derived id, pi parent tag, sp split point,
@@ -450,7 +472,8 @@ class BasecallerPipeline:
             if self.min_qscore > 0:
                 qs = next((t.value for t in rec.tags if t.tag == "qs"), 0.0)
                 if qs < self.min_qscore:
-                    self.reads_filtered += 1
+                    with self._stats_lock:
+                        self.reads_filtered += 1
                     continue
             records.append(rec)
         return records
@@ -588,32 +611,53 @@ class BasecallerPipeline:
         ``max_seconds`` time-boxes the run (the reference's BenchmarkTimer +
         fast terminate, cli_lib/basecaller.cpp:708-716): no new reads are fed
         after the deadline; in-flight reads still finish."""
+        from dorado_tpu.pipeline.host import (
+            OrderedPool,
+            OrderedSink,
+            default_host_threads,
+        )
+
         t0 = time.perf_counter()
         deadline = t0 + max_seconds if max_seconds is not None else None
         files = find_pod5_files(input_path, recursive=recursive)
         finished: list[_WorkingRead] = []
+        workers = default_host_threads()
+
+        # scale pool ahead of the feed loop; finish pool behind the device
+        # step; records written on this thread in submission order
+        scale_pool = OrderedPool(self._prepare_read, workers)
+        finish_sink = OrderedSink(
+            self._finish_read,
+            lambda recs: [writer.write(r) for r in recs],
+            workers,
+        )
 
         def flush():
             self._flush_batch(finished)
             while finished:
-                for rec in self._finish_read(finished.pop()):
-                    writer.write(rec)
+                finish_sink.submit(finished.pop())
+            finish_sink.drain_ready()
 
-        stop = False
-        for f in files:
-            if stop:
-                break
-            reader = Pod5File(f)
-            for read in reader.reads():
-                if deadline is not None and time.perf_counter() > deadline:
-                    stop = True
-                    break
-                read.filename = f.name
-                self._feed_read(read, flush)
-        # drain: dispatch the partial batch, then harvest everything in flight
-        self._drain(finished)
-        while finished:
-            for rec in self._finish_read(finished.pop()):
-                writer.write(rec)
+        def gated_reads():
+            for f in files:
+                reader = Pod5File(f)
+                for read in reader.reads():
+                    if deadline is not None and time.perf_counter() > deadline:
+                        return
+                    read.filename = f.name
+                    if self._gate_read(read):
+                        yield read
+
+        try:
+            for prepared in scale_pool.map(gated_reads()):
+                for wr in prepared:
+                    self._feed_prepared(wr, flush)
+            # drain: dispatch the partial batch, harvest everything in flight
+            self._drain(finished)
+            while finished:
+                finish_sink.submit(finished.pop())
+        finally:
+            finish_sink.shutdown()
+            scale_pool.shutdown()
         self.stats.elapsed_s = time.perf_counter() - t0
         return self.stats
