@@ -100,6 +100,34 @@ class ModBaseCallResult:
     motif_hits: np.ndarray  # bool [seq_len]
 
 
+@dataclass
+class _PreparedModel:
+    """Per-(read, model) chunk work: everything up to device inference."""
+
+    model_id: int
+    sig: np.ndarray  # scaled signal (model input space)
+    kmers: np.ndarray  # encoded kmer block
+    ssr: int
+    chunk_list: list[tuple[int, int]]
+    hits_seq: np.ndarray
+    hits_sig: np.ndarray
+    scores: list | None = None  # filled by call_reads
+
+
+@dataclass
+class PreparedRead:
+    """A read staged for (possibly cross-read batched) modbase inference."""
+
+    probs: np.ndarray
+    motif_hits: np.ndarray
+    int_seq: np.ndarray
+    models: list[_PreparedModel]
+
+    @property
+    def num_chunks(self) -> int:
+        return sum(len(m.chunk_list) for m in self.models)
+
+
 def get_chunk_starts(
     signal_len: int,
     hits_to_sig: np.ndarray,
@@ -198,6 +226,19 @@ class ModBaseCaller:
         self, seq: str, moves: np.ndarray, signal: np.ndarray
     ) -> ModBaseCallResult:
         """seq/moves from basecall, signal = scaled (model-input) signal."""
+        return self.call_reads([self.prepare_read(seq, moves, signal)])[0]
+
+    def prepare_read(
+        self, seq: str, moves: np.ndarray, signal: np.ndarray
+    ) -> PreparedRead:
+        """Host-side prep up to (but excluding) device inference.
+
+        Cross-read batching parity: the reference accumulates chunks from many
+        reads into one device batch (ModBaseChunkCallerNode.cpp:174-1010,
+        chunk queues per model flushed at batch size / timeout); here
+        ``prepare_read`` produces the chunk work-lists and ``call_reads``
+        batches them across reads.
+        """
         num_states = self.info.num_states
         seq_len = len(seq)
         int_seq = sequence_to_ints(seq)
@@ -209,6 +250,7 @@ class ModBaseCaller:
         probs[np.arange(seq_len) * num_states + pos_off] = 1
 
         motif_hits_mask = np.zeros(seq_len, dtype=bool)
+        models: list[_PreparedModel] = []
 
         if self.is_rna:
             pad = (-len(signal)) % self.canonical_stride
@@ -250,47 +292,99 @@ class ModBaseCaller:
             )
             if not chunk_list:
                 continue
-
-            scores = self._call_chunks(model_id, cfg, sig, kmers, chunk_list, ssr)
-            self._merge_scores(
-                probs, cfg, scores, chunk_list, hits_seq, hits_sig, int_seq
+            models.append(
+                _PreparedModel(
+                    model_id=model_id,
+                    sig=sig,
+                    kmers=kmers,
+                    ssr=ssr,
+                    chunk_list=chunk_list,
+                    hits_seq=hits_seq,
+                    hits_sig=hits_sig,
+                )
             )
 
-        return ModBaseCallResult(
-            base_mod_probs=probs, info=self.info, motif_hits=motif_hits_mask
+        return PreparedRead(
+            probs=probs, motif_hits=motif_hits_mask, int_seq=int_seq, models=models
         )
+
+    def call_reads(self, prepared: list[PreparedRead]) -> list[ModBaseCallResult]:
+        """Run inference for many prepared reads with cross-read chunk batching.
+
+        Chunks from all reads sharing a model are concatenated into one work
+        list and dispatched in full ``batch_size`` device batches (the
+        reference's per-model chunk queues, ModBaseChunkCallerNode.cpp:174-290);
+        only the final batch of the group may be partial.
+        """
+        # group (read, model-entry) pairs by model_id
+        by_model: dict[int, list[_PreparedModel]] = {}
+        for pr in prepared:
+            for pm in pr.models:
+                pm.scores = []
+                by_model.setdefault(pm.model_id, []).append(pm)
+
+        for model_id, entries in by_model.items():
+            cfg = self.configs[model_id]
+            # flat work list of (entry, chunk_start) across reads
+            work = [
+                (pm, start) for pm in entries for (start, _hit) in pm.chunk_list
+            ]
+            for batch_start in range(0, len(work), self.batch_size):
+                batch = work[batch_start : batch_start + self.batch_size]
+                res = self._run_batch(model_id, cfg, batch)
+                for (pm, _start), row in zip(batch, res):
+                    pm.scores.append(row)
+
+        out: list[ModBaseCallResult] = []
+        for pr in prepared:
+            for pm in pr.models:
+                self._merge_scores(
+                    pr.probs,
+                    self.configs[pm.model_id],
+                    pm.scores,
+                    pm.chunk_list,
+                    pm.hits_seq,
+                    pm.hits_sig,
+                    pr.int_seq,
+                )
+            out.append(
+                ModBaseCallResult(
+                    base_mod_probs=pr.probs,
+                    info=self.info,
+                    motif_hits=pr.motif_hits,
+                )
+            )
+        return out
 
     # ------------------------------------------------------------------
 
-    def _call_chunks(self, model_id, cfg, sig, kmers, chunk_list, ssr):
+    def _run_batch(self, model_id, cfg, batch):
+        """One device batch of (PreparedModel, chunk_start) pairs."""
         chunk_size = cfg.context.chunk_size
         kmer_dim = cfg.kmer_len * 4
-        n = len(chunk_list)
-        out_scores = []
-        for batch_start in range(0, n, self.batch_size):
-            batch = chunk_list[batch_start : batch_start + self.batch_size]
-            bn = len(batch)
-            sig_in = np.zeros((self.batch_size, chunk_size), dtype=np.float32)
-            seq_in = np.zeros(
-                (self.batch_size, chunk_size // ssr, kmer_dim), dtype=np.int8
-            )
-            for i, (start, _hit) in enumerate(batch):
-                end = min(start + chunk_size, len(sig))
-                piece = sig[start:end]
-                if len(piece) < chunk_size:
-                    reps = -(-chunk_size // len(piece))
-                    piece = np.tile(piece, reps)[:chunk_size]
-                sig_in[i] = piece
-                ks, ke = start // ssr, min((start + chunk_size) // ssr, len(kmers))
-                kpiece = kmers[ks:ke]
-                want = chunk_size // ssr
-                if len(kpiece) < want:
-                    reps = -(-want // max(1, len(kpiece)))
-                    kpiece = np.tile(kpiece, (reps, 1))[:want]
-                seq_in[i] = kpiece
-            res = np.asarray(self._fns[model_id](self.params[model_id], sig_in, seq_in))
-            out_scores.extend(res[:bn])
-        return out_scores
+        bn = len(batch)
+        ssr = batch[0][0].ssr
+        sig_in = np.zeros((self.batch_size, chunk_size), dtype=np.float32)
+        seq_in = np.zeros(
+            (self.batch_size, chunk_size // ssr, kmer_dim), dtype=np.int8
+        )
+        for i, (pm, start) in enumerate(batch):
+            sig, kmers = pm.sig, pm.kmers
+            end = min(start + chunk_size, len(sig))
+            piece = sig[start:end]
+            if len(piece) < chunk_size:
+                reps = -(-chunk_size // len(piece))
+                piece = np.tile(piece, reps)[:chunk_size]
+            sig_in[i] = piece
+            ks, ke = start // ssr, min((start + chunk_size) // ssr, len(kmers))
+            kpiece = kmers[ks:ke]
+            want = chunk_size // ssr
+            if len(kpiece) < want:
+                reps = -(-want // max(1, len(kpiece)))
+                kpiece = np.tile(kpiece, (reps, 1))[:want]
+            seq_in[i] = kpiece
+        res = np.asarray(self._fns[model_id](self.params[model_id], sig_in, seq_in))
+        return res[:bn]
 
     def _merge_scores(self, probs, cfg, scores, chunk_list, hits_seq, hits_sig, int_seq):
         num_states_model = cfg.num_states
@@ -325,3 +419,85 @@ def _with_normalised_context(cfg: ModBaseModelConfig, canonical_stride: int):
     import dataclasses
 
     return dataclasses.replace(cfg, context=cfg.context.normalised(canonical_stride))
+
+
+class ModBaseBatchScheduler:
+    """Cross-read chunk batching behind concurrent finisher threads.
+
+    The reference accumulates chunks from many reads in per-model queues and
+    flushes a device batch when it is full or a timeout expires
+    (ModBaseChunkCallerNode.cpp:174-290, chunk_queues_ + m_batch_timeout).
+    Here finisher threads submit :class:`PreparedRead`s and block for their
+    read's result; a single runner thread gathers submissions until
+    ``batch_size`` chunks are pending (or ``timeout_s`` passes with work
+    waiting) and runs one :meth:`ModBaseCaller.call_reads` over the group —
+    so short reads from different threads share full device batches.
+    """
+
+    def __init__(self, caller: ModBaseCaller, timeout_s: float = 0.01):
+        import threading
+
+        self.caller = caller
+        self.timeout_s = timeout_s
+        self._cv = threading.Condition()
+        self._queue: list[tuple[PreparedRead, threading.Event, list]] = []
+        self._pending_chunks = 0
+        self._closed = False
+        self._runner = threading.Thread(
+            target=self._run, name="modbase-batcher", daemon=True
+        )
+        self._runner.start()
+
+    def call(self, prepared: PreparedRead) -> ModBaseCallResult:
+        import threading
+
+        ev = threading.Event()
+        box: list = []
+        with self._cv:
+            if self._closed:
+                raise RuntimeError("ModBaseBatchScheduler is closed")
+            self._queue.append((prepared, ev, box))
+            self._pending_chunks += prepared.num_chunks
+            self._cv.notify()
+        ev.wait()
+        if isinstance(box[0], BaseException):
+            raise box[0]
+        return box[0]
+
+    def _run(self) -> None:
+        import time as _time
+
+        while True:
+            with self._cv:
+                while not self._queue and not self._closed:
+                    self._cv.wait()
+                if not self._queue and self._closed:
+                    return
+                deadline = _time.monotonic() + self.timeout_s
+                while (
+                    self._pending_chunks < self.caller.batch_size
+                    and not self._closed
+                ):
+                    remaining = deadline - _time.monotonic()
+                    if remaining <= 0:
+                        break
+                    self._cv.wait(remaining)
+                batch = self._queue
+                self._queue = []
+                self._pending_chunks = 0
+            try:
+                results = self.caller.call_reads([p for p, _, _ in batch])
+            except BaseException as exc:  # propagate to every waiter
+                for _, ev, box in batch:
+                    box.append(exc)
+                    ev.set()
+                continue
+            for (_, ev, box), res in zip(batch, results):
+                box.append(res)
+                ev.set()
+
+    def close(self) -> None:
+        with self._cv:
+            self._closed = True
+            self._cv.notify()
+        self._runner.join()

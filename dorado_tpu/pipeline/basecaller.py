@@ -111,6 +111,7 @@ class BasecallerPipeline:
         self.emit_moves = emit_moves
         self.modbase_caller = modbase_caller
         self.modbase_threshold = modbase_threshold
+        self._modbase_scheduler = None  # created per-run when threaded
         self.barcode_classifier = barcode_classifier
         self.barcode_both_ends = barcode_both_ends
         self.sample_sheet = sample_sheet
@@ -538,7 +539,16 @@ class BasecallerPipeline:
             modbase_threshold_uint8,
         )
 
-        result = self.modbase_caller.call_read(seq, np.asarray(moves), scaled_signal)
+        if self._modbase_scheduler is not None:
+            # cross-read chunk batching: finisher threads share device batches
+            prepared = self.modbase_caller.prepare_read(
+                seq, np.asarray(moves), scaled_signal
+            )
+            result = self._modbase_scheduler.call(prepared)
+        else:
+            result = self.modbase_caller.call_read(
+                seq, np.asarray(moves), scaled_signal
+            )
         mm, ml, mn = generate_modbase_tags(
             seq,
             result.base_mod_probs,
@@ -622,6 +632,10 @@ class BasecallerPipeline:
         files = find_pod5_files(input_path, recursive=recursive)
         finished: list[_WorkingRead] = []
         workers = default_host_threads()
+        if workers > 0 and self.modbase_caller is not None:
+            from dorado_tpu.modbase.caller import ModBaseBatchScheduler
+
+            self._modbase_scheduler = ModBaseBatchScheduler(self.modbase_caller)
 
         # scale pool ahead of the feed loop; finish pool behind the device
         # step; records written on this thread in submission order
@@ -659,5 +673,8 @@ class BasecallerPipeline:
         finally:
             finish_sink.shutdown()
             scale_pool.shutdown()
+            if self._modbase_scheduler is not None:
+                self._modbase_scheduler.close()
+                self._modbase_scheduler = None
         self.stats.elapsed_s = time.perf_counter() - t0
         return self.stats

@@ -252,6 +252,62 @@ class TestCaller:
                 assert probs[i, 0] == 1 and probs[i, 1:].sum() == 0
 
 
+class TestCrossReadBatching:
+    """call_reads batches chunks across reads (ModBaseChunkCallerNode.cpp:174-290)."""
+
+    def _make_reads(self, n, rng):
+        reads = []
+        for _ in range(n):
+            ln = int(rng.randint(40, 120))
+            seq = "".join(rng.choice(list("ACGT"), ln))
+            t_out = ln * 2
+            moves = np.zeros(t_out, dtype=np.uint8)
+            pos = np.sort(rng.choice(np.arange(1, t_out), ln - 1, replace=False))
+            moves[0] = 1
+            moves[pos] = 1
+            signal = rng.randn(t_out * 6).astype(np.float32)
+            reads.append((seq, moves, signal))
+        return reads
+
+    def test_call_reads_matches_per_read(self):
+        cfg = load_modbase_config(V2_CFG)
+        params = init_modbase_params(cfg, jax.random.PRNGKey(0))
+        caller = ModBaseCaller([cfg], [params], canonical_stride=6, batch_size=16)
+        rng = np.random.RandomState(1)
+        reads = self._make_reads(6, rng)
+
+        solo = [caller.call_read(*r) for r in reads]
+        batched = caller.call_reads([caller.prepare_read(*r) for r in reads])
+        for a, b in zip(solo, batched):
+            np.testing.assert_array_equal(a.base_mod_probs, b.base_mod_probs)
+            np.testing.assert_array_equal(a.motif_hits, b.motif_hits)
+
+    def test_scheduler_threads(self):
+        from concurrent.futures import ThreadPoolExecutor
+
+        from dorado_tpu.modbase.caller import ModBaseBatchScheduler
+
+        cfg = load_modbase_config(V2_CFG)
+        params = init_modbase_params(cfg, jax.random.PRNGKey(0))
+        caller = ModBaseCaller([cfg], [params], canonical_stride=6, batch_size=64)
+        rng = np.random.RandomState(2)
+        reads = self._make_reads(8, rng)
+        solo = [caller.call_read(*r) for r in reads]
+
+        sched = ModBaseBatchScheduler(caller, timeout_s=0.05)
+        try:
+            with ThreadPoolExecutor(max_workers=4) as pool:
+                futs = [
+                    pool.submit(lambda r=r: sched.call(caller.prepare_read(*r)))
+                    for r in reads
+                ]
+                results = [f.result() for f in futs]
+        finally:
+            sched.close()
+        for a, b in zip(solo, results):
+            np.testing.assert_array_equal(a.base_mod_probs, b.base_mod_probs)
+
+
 class TestTags:
     def test_mm_ml(self):
         cfg = load_modbase_config(V2_CFG)
