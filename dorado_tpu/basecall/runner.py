@@ -33,6 +33,32 @@ from dorado_tpu.ops.crf_scan import (
 )
 
 
+def _decode_scan_fns(num_transitions: int):
+    """Pick the CRF scan implementations for the decode path.
+
+    On real TPUs with a VMEM-resident lattice (state_len <= 4) the fused
+    Pallas streaming kernels (ops/crf_pallas.py) replace the XLA lax.scans —
+    ~2.2x faster at hac shapes; the TPU analogue of the reference decoding in
+    four fused CUDA kernels (decode/CUDADecoder.cpp:77-106).
+    DORADO_TPU_PALLAS_DECODE=0 forces the XLA scans.
+    """
+    from dorado_tpu.ops.crf_pallas import (
+        backward_scores_pallas,
+        forward_scores_pallas,
+        supports_pallas_decode,
+        viterbi_path_pallas,
+    )
+
+    enabled = os.environ.get("DORADO_TPU_PALLAS_DECODE", "1") != "0"
+    if (
+        enabled
+        and jax.default_backend() == "tpu"
+        and supports_pallas_decode(num_transitions)
+    ):
+        return forward_scores_pallas, backward_scores_pallas, viterbi_path_pallas
+    return forward_scores, backward_scores, viterbi_path
+
+
 def _qual_data_from_posts_batch(
     states: np.ndarray, posts: np.ndarray, num_states: int
 ) -> np.ndarray:
@@ -243,14 +269,16 @@ class BasecallRunner:
             mv_packed = (mv * weights).sum(axis=-1).astype(jnp.uint8)
             return seq_chars, qchar, mv_packed, lengths
 
+        fwd_scan, bwd_scan, vit_path = _decode_scan_fns(num_states * 4)
+
         @jax.jit
         def device_viterbi(p, sig):
             scores = fwd(p, sig)  # [N, T_out, C] f32
             scores_tnc = jnp.swapaxes(scores, 0, 1)
-            alpha = forward_scores(scores_tnc, blank)
-            beta = backward_scores(scores_tnc, blank)
+            alpha = fwd_scan(scores_tnc, blank)
+            beta = bwd_scan(scores_tnc, blank)
             posts = jax.nn.softmax(alpha + beta, axis=-1)
-            states, moves = viterbi_path(scores_tnc, blank)
+            states, moves = vit_path(scores_tnc, blank)
             states_nt = jnp.swapaxes(states, 0, 1)
             moves_nt = jnp.swapaxes(moves, 0, 1)
             qual = device_qual(states_nt, jnp.swapaxes(posts, 0, 1))
@@ -267,8 +295,8 @@ class BasecallRunner:
 
             scores = fwd(p, sig)
             scores_tnc = jnp.swapaxes(scores, 0, 1)
-            alpha = forward_scores(scores_tnc, blank)
-            beta = backward_scores(scores_tnc, blank)
+            alpha = fwd_scan(scores_tnc, blank)
+            beta = bwd_scan(scores_tnc, blank)
             posts = jax.nn.softmax(alpha + beta, axis=-1)
             states_nt, moves_nt = beam_search_device(
                 scores_tnc, beta, beam_width, beam_cut, blank
@@ -282,8 +310,8 @@ class BasecallRunner:
             the exact C++ oracle (large transfers; debugging/verification)."""
             scores = fwd(p, sig)
             scores_tnc = jnp.swapaxes(scores, 0, 1)
-            alpha = forward_scores(scores_tnc, blank)
-            beta = backward_scores(scores_tnc, blank)
+            alpha = fwd_scan(scores_tnc, blank)
+            beta = bwd_scan(scores_tnc, blank)
             posts = jax.nn.softmax(alpha + beta, axis=-1)
             return (
                 scores,  # [N, T_out, C]

@@ -1,0 +1,302 @@
+"""Pallas TPU kernels for the CRF lattice scans.
+
+The XLA `lax.scan` decode path (ops/crf_scan.py) costs ~16-25us per timestep
+at hac shapes — body-bound on HBM round-trips between the fused loops of
+each step. These kernels keep the carry in VMEM across a time-tiled grid and
+stream raw score blocks through, cutting the per-step cost to ~8us at hac
+shapes (measured v5e, batch 256). This is the TPU analogue of the reference
+running its whole decode in four fused CUDA kernels
+(dorado/basecall/decode/CUDADecoder.cpp:77-106).
+
+Kernel structure (constraints measured on v5e Mosaic — lane-dim interleaved
+repeats, strided slices, lane-splitting reshapes, sorts and cumsum do NOT
+lower; sub-128-lane slice/repeat tricks lower but run slower than full-shape
+MXU matmuls):
+
+- the carry expansion state->transition space and the transition->state
+  reduction both ride the MXU as *exact* one-hot f32 matmuls (each row/
+  column has a single 1.0, so the f32 accumulation adds only zeros):
+      red = ((exp(carry - m) @ P) * exp(scores_t)) @ G
+  with per-direction constant P [S, C] / G [C, S] encoding the lattice
+  wiring in the *raw* score layout — no score permutation pass outside.
+- LSE runs in exp space with a per-row max shift (states >87 nats below
+  the row max underflow to -inf, harmless downstream; see crf_scan.py).
+- VMEM budget: P+G (2*S*C*4 bytes) + double-buffered in/out blocks must
+  fit ~16 MB/core, which holds for state_len 4 (hac/fast, C=1024). The
+  transformer-sup space (C=4096) exceeds it; callers fall back to the XLA
+  scan there.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+# VMEM working-set budget for choosing the time-tile (bytes); leaves room
+# for Pallas' double-buffered in/out blocks inside the ~16 MB/core VMEM.
+_VMEM_BUDGET = 9 * 1024 * 1024
+
+
+def _pick_bn(n: int) -> int:
+    """Batch tile: largest power-of-two divisor of n, at most 128."""
+    bn = 1
+    while bn < 128 and n % (bn * 2) == 0:
+        bn *= 2
+    return bn
+
+
+def _pick_bt(t_len: int, bn: int, c: int) -> int:
+    """Largest divisor of t_len whose double-buffered blocks fit VMEM."""
+    s = c // 4
+    per_t = bn * c * 4 * 2 + bn * s * 4 * 2  # in + out, double-buffered
+    best = 1
+    for bt in range(1, t_len + 1):
+        if t_len % bt:
+            continue
+        if bt * per_t > _VMEM_BUDGET:
+            break
+        best = bt
+    return best
+
+
+@functools.lru_cache(maxsize=None)
+def _lattice_matrices(num_states: int, reverse: bool) -> tuple[np.ndarray, np.ndarray]:
+    """One-hot (P [S, C], G [C, S]) pair for a scan direction.
+
+    Forward (crf_scan.predecessor_index semantics): transition c = s*4 + r
+    steps pred(c) = r*(S/4) + (s>>2) -> s, so
+        P[p, c] = 1  iff  p == (c&3)*(S/4) + (c>>4)      (expand alpha)
+        G[c, s] = 1  iff  s == c>>2                       (reduce over r)
+
+    Backward: transition c = s'*4 + r carries beta[s'] into s =
+    (r << 2*(state_len-1)) | (s'>>2) (crf_scan.backward_scores), so
+        P[p, c] = 1  iff  p == c>>2                       (expand beta)
+        G[c, s] = 1  iff  s == ((c&3) << shift) | (c>>4)  (reduce over b)
+    """
+    c_len = num_states * 4
+    c_arr = np.arange(c_len)
+    p_mat = np.zeros((num_states, c_len), np.float32)
+    g_mat = np.zeros((c_len, num_states), np.float32)
+    if reverse:
+        shift = 2 * (int(round(np.log(num_states) / np.log(4))) - 1)
+        p_mat[c_arr >> 2, c_arr] = 1.0
+        g_mat[c_arr, ((c_arr & 3) << shift) | (c_arr >> 4)] = 1.0
+    else:
+        p_mat[(c_arr & 3) * (num_states // 4) + (c_arr >> 4), c_arr] = 1.0
+        g_mat[c_arr, c_arr >> 2] = 1.0
+    return p_mat, g_mat
+
+
+def _dot2(x, m_bf16):
+    """Near-exact f32 one-hot copy matmul in two MXU passes.
+
+    DEFAULT precision truncates f32 operands to bf16 on the MXU (one pass,
+    0.4% rel error — too coarse for a 1666-step recursion). HIGHEST is exact
+    but costs 6 passes. A hi/lo bf16 split costs 2: x = hi + lo with
+    hi = bf16(x), lo = bf16(x - hi); each product against a one-hot 1.0 is
+    exact, so the copy is recovered to ~2^-17 relative.
+    """
+    hi = x.astype(jnp.bfloat16)
+    lo = (x - hi.astype(jnp.float32)).astype(jnp.bfloat16)
+    return jnp.dot(hi, m_bf16, preferred_element_type=jnp.float32) + jnp.dot(
+        lo, m_bf16, preferred_element_type=jnp.float32
+    )
+
+
+def _lse_kernel(sc_ref, p_ref, g_ref, out_ref, carry_ref, *, bt, stay_factor, rev):
+    t_idx = pl.program_id(1)
+
+    @pl.when(t_idx == 0)
+    def _():
+        carry_ref[:] = jnp.zeros_like(carry_ref)
+
+    # static unroll over the (small) time tile: Mosaic handles constant
+    # leading-dim block indices far more reliably than dynamic ones
+    carry = carry_ref[:]
+    for i in range(bt):
+        j = (bt - 1 - i) if rev else i
+        m = jnp.max(carry, axis=-1, keepdims=True)
+        ec = jnp.exp(carry - m)
+        ecp = _dot2(ec, p_ref[:])
+        prod = ecp * jnp.exp(sc_ref[j])
+        red = _dot2(prod, g_ref[:])
+        carry = m + jnp.log(red + ec * stay_factor)
+        out_ref[j] = carry
+    carry_ref[:] = carry
+
+
+@functools.partial(jax.jit, static_argnames=("stay_score", "reverse", "interpret"))
+def _lse_scan_pallas(scores_tnc, stay_score: float, reverse: bool, interpret: bool):
+    t_len, n, c = scores_tnc.shape
+    s = c // 4
+    bn = _pick_bn(n)
+    bt = _pick_bt(t_len, bn, c)
+    n_tiles, t_tiles = n // bn, t_len // bt
+    stay_factor = float(np.exp(stay_score))
+
+    p_mat, g_mat = _lattice_matrices(s, reverse)
+    kernel = functools.partial(
+        _lse_kernel, bt=bt, stay_factor=stay_factor, rev=reverse
+    )
+    if reverse:
+        t_map = lambda b, t: (t_tiles - 1 - t, b, 0)  # noqa: E731
+    else:
+        t_map = lambda b, t: (t, b, 0)  # noqa: E731
+
+    f = pl.pallas_call(
+        kernel,
+        grid=(n_tiles, t_tiles),
+        in_specs=[
+            pl.BlockSpec((bt, bn, c), t_map, memory_space=pltpu.VMEM),
+            pl.BlockSpec((s, c), lambda b, t: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((c, s), lambda b, t: (0, 0), memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((bt, bn, s), t_map, memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((t_len, n, s), jnp.float32),
+        scratch_shapes=[pltpu.VMEM((bn, s), jnp.float32)],
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("arbitrary", "arbitrary")
+        ),
+        interpret=interpret,
+    )
+    hist = f(
+        scores_tnc.astype(jnp.float32),
+        jnp.asarray(p_mat, jnp.bfloat16),
+        jnp.asarray(g_mat, jnp.bfloat16),
+    )
+    init = jnp.zeros((1, n, s), jnp.float32)
+    # match crf_scan history convention: [T+1, N, S] including the init row
+    if reverse:
+        return jnp.concatenate([hist, init], axis=0)
+    return jnp.concatenate([init, hist], axis=0)
+
+
+@functools.lru_cache(maxsize=None)
+def _select_matrices(num_states: int) -> np.ndarray:
+    """G_r [4, C, S]: G_r[c, s] = 1 iff c == s*4 + r — per-slot transition
+    selection for the Viterbi max over the 4 step predecessors."""
+    c_len = num_states * 4
+    out = np.zeros((4, c_len, num_states), np.float32)
+    s_arr = np.arange(num_states)
+    for r in range(4):
+        out[r, s_arr * 4 + r, s_arr] = 1.0
+    return out
+
+
+def _viterbi_kernel(
+    sc_ref, p_ref, gs_ref, out_ref, final_ref, carry_ref, *, bt, stay_score
+):
+    t_idx = pl.program_id(1)
+
+    @pl.when(t_idx == 0)
+    def _():
+        carry_ref[:] = jnp.zeros_like(carry_ref)
+
+    carry = carry_ref[:]
+    for i in range(bt):
+        # per-step row-max normalisation keeps the carry near zero so the
+        # hi/lo bf16 split in _dot2 stays accurate on the states that matter
+        # (argmax decisions are shift-invariant)
+        carry = carry - jnp.max(carry, axis=-1, keepdims=True)
+        avp = _dot2(carry, p_ref[:])
+        stepped = avp + sc_ref[i]  # [bn, C] candidate path scores
+        red = [_dot2(stepped, gs_ref[r]) for r in range(4)]
+        best = jnp.maximum(jnp.maximum(red[0], red[1]), jnp.maximum(red[2], red[3]))
+        best_r = jnp.where(
+            jnp.maximum(red[0], red[1]) >= jnp.maximum(red[2], red[3]),
+            jnp.where(red[0] >= red[1], 0, 1),
+            jnp.where(red[2] >= red[3], 2, 3),
+        )
+        stay = carry + stay_score
+        is_stay = stay >= best
+        carry = jnp.where(is_stay, stay, best)
+        out_ref[i] = jnp.where(is_stay, 4, best_r).astype(jnp.int8)
+    carry_ref[:] = carry
+    final_ref[:] = carry  # only the last time tile's write survives
+
+
+@functools.partial(jax.jit, static_argnames=("stay_score", "interpret"))
+def _viterbi_fwd_pallas(scores_tnc, stay_score: float, interpret: bool):
+    """Max-plus forward pass: (choices [T, N, S] int8 with 4 = stay and
+    0..3 = predecessor slot r, final alpha_v [N, S]) — the forward half of
+    crf_scan.viterbi_path as one fused streaming kernel."""
+    t_len, n, c = scores_tnc.shape
+    s = c // 4
+    bn = _pick_bn(n)
+    bt = _pick_bt(t_len, bn, c)
+    n_tiles, t_tiles = n // bn, t_len // bt
+
+    p_mat, _ = _lattice_matrices(s, False)
+    gs = _select_matrices(s)
+    kernel = functools.partial(_viterbi_kernel, bt=bt, stay_score=float(stay_score))
+    t_map = lambda b, t: (t, b, 0)  # noqa: E731
+
+    f = pl.pallas_call(
+        kernel,
+        grid=(n_tiles, t_tiles),
+        in_specs=[
+            pl.BlockSpec((bt, bn, c), t_map, memory_space=pltpu.VMEM),
+            pl.BlockSpec((s, c), lambda b, t: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((4, c, s), lambda b, t: (0, 0, 0), memory_space=pltpu.VMEM),
+        ],
+        out_specs=[
+            pl.BlockSpec((bt, bn, s), t_map, memory_space=pltpu.VMEM),
+            pl.BlockSpec((bn, s), lambda b, t: (b, 0), memory_space=pltpu.VMEM),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((t_len, n, s), jnp.int8),
+            jax.ShapeDtypeStruct((n, s), jnp.float32),
+        ],
+        scratch_shapes=[pltpu.VMEM((bn, s), jnp.float32)],
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("arbitrary", "arbitrary")
+        ),
+        interpret=interpret,
+    )
+    choices, final = f(
+        scores_tnc.astype(jnp.float32),
+        jnp.asarray(p_mat, jnp.bfloat16),
+        jnp.asarray(gs, jnp.bfloat16),
+    )
+    return choices, final
+
+
+def viterbi_path_pallas(scores_tnc, fixed_stay_score: float, interpret: bool = False):
+    """Exact Viterbi path via the Pallas forward kernel + the XLA traceback.
+
+    Matches crf_scan.viterbi_path: returns (states [T, N] i32, moves [T, N]
+    u8). The forward max-scan (the expensive [T, N, C] streaming pass) runs
+    in the fused kernel; the [N]-wide traceback stays a lax.scan.
+    """
+    from dorado_tpu.ops.crf_scan import viterbi_traceback
+
+    choices, final = _viterbi_fwd_pallas(
+        scores_tnc, float(fixed_stay_score), interpret
+    )
+    last_state = jnp.argmax(final, axis=-1).astype(jnp.int32)
+    return viterbi_traceback(choices, last_state)
+
+
+def supports_pallas_decode(num_transitions: int) -> bool:
+    """P+G must fit VMEM alongside the streamed blocks (state_len <= 4)."""
+    s = num_transitions // 4
+    return 2 * s * num_transitions * 4 <= 4 * 1024 * 1024
+
+
+def use_pallas_decode() -> bool:
+    return jax.default_backend() == "tpu"
+
+
+def forward_scores_pallas(scores_tnc, fixed_stay_score: float, interpret: bool = False):
+    """alpha [T+1, N, S]; drop-in for crf_scan.forward_scores on TPU."""
+    return _lse_scan_pallas(scores_tnc, float(fixed_stay_score), False, interpret)
+
+
+def backward_scores_pallas(scores_tnc, fixed_stay_score: float, interpret: bool = False):
+    """beta [T+1, N, S]; drop-in for crf_scan.backward_scores on TPU."""
+    return _lse_scan_pallas(scores_tnc, float(fixed_stay_score), True, interpret)

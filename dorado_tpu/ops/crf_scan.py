@@ -193,6 +193,21 @@ def viterbi_path(scores_tnc: jnp.ndarray, fixed_stay_score: float) -> tuple[jnp.
     choices = choices.reshape(t_len, n, num_states)  # [T, N, S]
 
     last_state = jnp.argmax(final_alpha, axis=-1).astype(jnp.int32)  # [N]
+    return viterbi_traceback(choices, last_state)
+
+
+def viterbi_traceback(
+    choices: jnp.ndarray, last_state: jnp.ndarray
+) -> tuple[jnp.ndarray, jnp.ndarray]:
+    """Reverse traceback over a per-step choice table.
+
+    choices: [T, N, S] (4 = stay, 0..3 = predecessor slot r); last_state: [N]
+    argmax of the final alphas. Returns (states [T, N] i32, moves [T, N] u8).
+    Shared by the XLA and Pallas forward passes.
+    """
+    t_len, n, num_states = choices.shape
+    idx = jnp.asarray(predecessor_index(num_states))
+    block = _scan_block(t_len)
 
     def back_one(state, choice_t):
         # choice_t: [N, S]

@@ -1,0 +1,65 @@
+"""Pallas CRF decode kernels: parity vs the XLA scans (interpret mode on CPU).
+
+The kernels stream [T, N, C] score blocks through VMEM with the carry
+resident, expanding/reducing the lattice wiring as exact one-hot MXU matmuls
+(ops/crf_pallas.py). Parity is against ops/crf_scan.py, itself torch/oracle
+parity-tested; the reference runs this decode as fused CUDA kernels
+(dorado/basecall/decode/CUDADecoder.cpp:77-106).
+"""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from dorado_tpu.ops.crf_pallas import (
+    backward_scores_pallas,
+    forward_scores_pallas,
+    supports_pallas_decode,
+    viterbi_path_pallas,
+)
+from dorado_tpu.ops.crf_scan import (
+    backward_scores,
+    forward_scores,
+    viterbi_path,
+)
+
+
+def _scores(t, n, c, seed=0, scale=2.0):
+    key = jax.random.PRNGKey(seed)
+    return (jax.random.normal(key, (t, n, c), jnp.float32) * scale).clip(-5, 5)
+
+
+@pytest.mark.parametrize("c", [256, 1024])
+def test_lse_scans_match_xla(c):
+    scores = _scores(12, 8, c)
+    a_ref = np.asarray(forward_scores(scores, 2.0))
+    b_ref = np.asarray(backward_scores(scores, 2.0))
+    a_p = np.asarray(forward_scores_pallas(scores, 2.0, interpret=True))
+    b_p = np.asarray(backward_scores_pallas(scores, 2.0, interpret=True))
+    assert a_p.shape == a_ref.shape and b_p.shape == b_ref.shape
+    assert np.abs(a_p - a_ref).max() < 1e-3
+    assert np.abs(b_p - b_ref).max() < 1e-3
+
+
+def test_lse_long_time_axis_tiles():
+    # t chosen so the time-tiling picks bt > 1 and multiple grid tiles
+    scores = _scores(24, 4, 1024, seed=1)
+    a_ref = np.asarray(forward_scores(scores, 2.0))
+    a_p = np.asarray(forward_scores_pallas(scores, 2.0, interpret=True))
+    assert np.abs(a_p - a_ref).max() < 1e-3
+
+
+def test_viterbi_matches_xla():
+    scores = _scores(16, 4, 1024, seed=2)
+    st_ref, mv_ref = (np.asarray(x) for x in viterbi_path(scores, 2.0))
+    st_p, mv_p = (
+        np.asarray(x) for x in viterbi_path_pallas(scores, 2.0, interpret=True)
+    )
+    np.testing.assert_array_equal(st_p, st_ref)
+    np.testing.assert_array_equal(mv_p, mv_ref)
+
+
+def test_supports_pallas_decode():
+    assert supports_pallas_decode(1024)  # hac / fast (state_len 4)
+    assert not supports_pallas_decode(4096)  # sup transformer space
