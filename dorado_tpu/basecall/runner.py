@@ -204,15 +204,26 @@ class BasecallRunner:
             ).reshape(n, t, 8)  # interleaved [l0, r0, l1, r1, ...]
 
             t_posts = posts_nt[:, 1 : t + 1]
-            block_prob = jnp.take_along_axis(t_posts, state[..., None], axis=2)[..., 0]
 
             not_self = shifted != state[..., None]
             first = jnp.ones_like(not_self)
             for j in range(1, 8):
                 dup = (shifted[..., :j] == shifted[..., j : j + 1]).any(axis=-1)
                 first = first.at[..., j].set(~dup)
-            gathered = jnp.take_along_axis(t_posts, shifted, axis=2)
-            block_prob = block_prob + (gathered * (not_self & first)).sum(axis=-1)
+            count = not_self & first
+
+            # gather-free: TPU data-dependent lane gathers run ~1 elem/cycle
+            # (take_along_axis here measured ~57 ms of the hac device step).
+            # Accumulate a one-hot weight plane per candidate state instead —
+            # 9 fused compare-adds over [N, T, S] on the VPU — then reduce
+            # against the posterior plane once.
+            iota = jnp.arange(num_states, dtype=jnp.int32)
+            weights = (state[..., None] == iota).astype(jnp.float32)
+            for j in range(8):
+                weights = weights + jnp.where(
+                    (shifted[..., j, None] == iota) & count[..., j, None], 1.0, 0.0
+                )
+            block_prob = (weights * t_posts).sum(axis=-1)
 
             block_prob = jnp.clip(block_prob, 0.0, 1.0) ** 0.4
             wrong = (1.0 - block_prob) / 3.0
@@ -226,39 +237,65 @@ class BasecallRunner:
 
         q_shift = float(self.options.q_shift)
         q_scale = float(self.options.q_scale)
-        alphabet = jnp.asarray(np.frombuffer(b"ACGT", np.uint8))
 
         def device_sequence(states_nt, moves_nt, qual):
             """Full sequence/qstring materialisation on device (the role of
             Koi's host_run_decode byte outputs, CUDADecoder.cpp:100-113):
-            compacted ASCII bases + phred chars + bit-packed moves leave the
-            chip — ~10x less transfer than states/posteriors."""
+            ASCII bases + phred chars in *emit-position layout* plus the
+            bit-packed move table leave the chip; the host compacts by the
+            move mask (runner._decode). Deliberately scatter-free: TPU
+            scatter/segment-sum lowerings serialise per segment (measured
+            ~74 ms of a 148 ms hac device step), so per-base block sums are
+            computed as exclusive-cumsum differences at segment boundaries
+            with O(log T) associative scans + constant-width gathers."""
             n, t = states_nt.shape
             bases = (states_nt & 3).astype(jnp.int32)
             moves_i = moves_nt.astype(jnp.int32)
-            seq_pos = jnp.clip(jnp.cumsum(moves_i, axis=1) - 1, 0, None)
 
             qual_f = qual.astype(jnp.float32)
             base_prob_blk = jnp.take_along_axis(qual_f, bases[..., None], axis=2)[..., 0]
             total_blk = qual_f.sum(axis=-1)
 
-            def seg(vals, pos):
-                return jax.ops.segment_sum(vals, pos, num_segments=t)
+            # segment boundaries replicate the seq_pos = clip(cumsum-1, 0)
+            # bucketing: a segment starts at position 0 and at every emit
+            # except the first (pre-first-emit positions fold into base 0)
+            tidx = jnp.arange(t, dtype=jnp.int32)
+            cum = jnp.cumsum(moves_i, axis=1)
+            is_start = (tidx[None, :] == 0) | ((moves_i == 1) & (cum > 1))
+            start_t = jnp.where(is_start, tidx[None, :], -1)
+            prev_start = jax.lax.cummax(start_t, axis=1)  # [N, T] >= 0
+            nxt_src = jnp.where(is_start, tidx[None, :], t)
+            nxt_src = jnp.concatenate(
+                [nxt_src[:, 1:], jnp.full((n, 1), t, jnp.int32)], axis=1
+            )
+            next_start = jnp.flip(
+                jax.lax.cummin(jnp.flip(nxt_src, axis=1), axis=1), axis=1
+            )
 
-            base_probs = jax.vmap(seg)(base_prob_blk, seq_pos)
-            total_probs = jax.vmap(seg)(total_blk, seq_pos)
+            def seg_sums(vals):
+                c = jnp.cumsum(vals, axis=1)
+                e = jnp.concatenate(
+                    [jnp.zeros((n, 1), jnp.float32), c[:, :-1]], axis=1
+                )
+                ext = jnp.concatenate([e, c[:, -1:]], axis=1)  # ext[x]=sum(<x)
+                hi = jnp.take_along_axis(ext, next_start, axis=1)
+                lo = jnp.take_along_axis(ext, prev_start, axis=1)
+                return hi - lo
+
+            base_probs = seg_sums(base_prob_blk)
+            total_probs = seg_sums(total_blk)
 
             err = 1.0 - base_probs / jnp.maximum(total_probs, 1e-30)
             phred = -10.0 * jnp.log10(jnp.maximum(err, 1e-30))
             qscore = jnp.clip(phred * q_scale + q_shift, 1.0, 50.0)
-            qchar = (33.5 + qscore).astype(jnp.uint8)
+            qchar = (33.5 + qscore).astype(jnp.uint8)  # valid at emit positions
 
-            # scatter emitted bases to their sequence positions (stays -> drop)
-            emit_pos = jnp.where(moves_i == 1, seq_pos, t)
-            seq_chars = jnp.zeros((n, t), jnp.uint8)
-            seq_chars = jax.vmap(
-                lambda sc, pos, b: sc.at[pos].set(alphabet[b], mode="drop")
-            )(seq_chars, emit_pos, bases)
+            # emit-position layout; 4-way select, no gather
+            seq_chars = jnp.where(
+                bases < 2,
+                jnp.where(bases == 0, ord("A"), ord("C")),
+                jnp.where(bases == 2, ord("G"), ord("T")),
+            ).astype(jnp.uint8)
 
             lengths = moves_i.sum(axis=1).astype(jnp.int32)
             # bit-pack the move table
@@ -287,12 +324,12 @@ class BasecallRunner:
         beam_width = int(self.options.beam_width)
         beam_cut = float(self.options.beam_cut)
 
+        from dorado_tpu.ops.beam import beam_search_device
+
         @jax.jit
         def device_beam(p, sig):
             """Fully on-device beam decode (ops/beam.py batched beam search)
             with byte outputs — the TPU answer to Koi's GPU beam kernels."""
-            from dorado_tpu.ops.beam import beam_search_device
-
             scores = fwd(p, sig)
             scores_tnc = jnp.swapaxes(scores, 0, 1)
             alpha = fwd_scan(scores_tnc, blank)
@@ -406,9 +443,11 @@ class BasecallRunner:
             )
 
             def materialise(i: int) -> DecodedChunk:
-                n_bases = int(lengths[i])
-                seq = seq_chars[i, :n_bases].tobytes().decode()
-                qstring = qchars[i, :n_bases].tobytes().decode()
+                # device arrays are in emit-position layout; compact by the
+                # move mask (one vectorised numpy index per chunk)
+                mask = moves_all[i].astype(bool)
+                seq = seq_chars[i][mask].tobytes().decode()
+                qstring = qchars[i][mask].tobytes().decode()
                 return DecodedChunk(sequence=seq, qstring=qstring, moves=moves_all[i])
 
             return self._pool_map(materialise, num_chunks)

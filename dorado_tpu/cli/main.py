@@ -30,6 +30,12 @@ def _add_basecaller(sub: argparse._SubParsersAction) -> None:
         "--emit-sam", action="store_true", help="Emit SAM instead of BAM"
     )
     p.add_argument("--emit-fastq", action="store_true")
+    p.add_argument(
+        "--emit-cram",
+        action="store_true",
+        help="Emit CRAM (non-reference mode; also chosen by a .cram output "
+        "path, matching the reference's extension-based selection)",
+    )
     p.add_argument("--emit-moves", action="store_true")
     p.add_argument("-c", "--chunksize", type=int, default=None)
     p.add_argument("-b", "--batchsize", type=int, default=None,
@@ -290,12 +296,20 @@ def _run_basecaller(args: argparse.Namespace) -> int:
             aligner_bed = BedFile.load(args.bed_file)
 
     out_is_stdout = args.output == "-"
+    emit_cram = args.emit_cram or (
+        not out_is_stdout and str(args.output).endswith(".cram")
+    )
     if args.emit_fastq:
         fh = sys.stdout if out_is_stdout else open(args.output, "w")
         writer = FastqWriter(fh, header)
     elif args.emit_sam:
         fh = sys.stdout if out_is_stdout else open(args.output, "w")
         writer = SamWriter(fh, header)
+    elif emit_cram:
+        from dorado_tpu.io.cram import CramWriter
+
+        fh = sys.stdout.buffer if out_is_stdout else open(args.output, "wb")
+        writer = CramWriter(fh, header)
     else:
         fh = sys.stdout.buffer if out_is_stdout else open(args.output, "wb")
         writer = BamWriter(fh, header)
@@ -974,6 +988,13 @@ def _run_aligner(args: argparse.Namespace) -> int:
     if args.emit_sam:
         fh = sys.stdout if out_is_stdout else open(args.output, "w")
         writer = SamWriter(fh, header)
+    elif not out_is_stdout and str(args.output).endswith(".cram"):
+        # extension-selected CRAM, as the reference's hts_file picks
+        # OutputMode::CRAM from the path (hts_utils/sequence_file_format.cpp)
+        from dorado_tpu.io.cram import CramWriter
+
+        fh = open(args.output, "wb")
+        writer = CramWriter(fh, header)
     else:
         fh = sys.stdout.buffer if out_is_stdout else open(args.output, "wb")
         if args.no_sort:

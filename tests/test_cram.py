@@ -1,0 +1,211 @@
+"""CRAM 3.0 writer/reader round-trips + structural parse of the reference's
+htslib-written fixtures (regression_test/ref/linux/.../out.cram)."""
+
+import io
+from pathlib import Path
+
+import numpy as np
+import pytest
+
+from dorado_tpu.io.cram import (
+    ByteReader,
+    CramReader,
+    CramWriter,
+    scan_structure,
+    write_itf8,
+    write_ltf8,
+)
+from dorado_tpu.io.sam import SamHeader, SamRecord, SamTag
+
+REF_CRAMS = sorted(
+    Path("/root/reference/regression_test/ref/linux").rglob("*.cram")
+)
+
+
+class TestVarints:
+    @pytest.mark.parametrize(
+        "v", [0, 1, 127, 128, 16383, 16384, 2097151, 2**27, 2**31 - 1, -1, -100]
+    )
+    def test_itf8_roundtrip(self, v):
+        r = ByteReader(write_itf8(v))
+        assert r.itf8() == v
+
+    @pytest.mark.parametrize(
+        "v", [0, 127, 128, 2**20, 2**35, 2**50, 2**62, -1]
+    )
+    def test_ltf8_roundtrip(self, v):
+        r = ByteReader(write_ltf8(v))
+        assert r.ltf8() == v
+
+
+def _header(with_refs=False):
+    return SamHeader(
+        references=[("chr1", 10000), ("chr2", 5000)] if with_refs else [],
+        read_groups=[{"ID": "run1_model", "PU": "TEST", "PL": "ONT"}],
+        programs=[{"ID": "basecaller", "PN": "dorado_tpu"}],
+    )
+
+
+def _unmapped_records(n=10, seed=0):
+    rng = np.random.RandomState(seed)
+    recs = []
+    for i in range(n):
+        ln = int(rng.randint(5, 200))
+        seq = "".join(rng.choice(list("ACGT"), ln))
+        qual = "".join(chr(int(q) + 33) for q in rng.randint(0, 50, ln))
+        tags = [
+            SamTag("qs", "f", float(round(float(rng.rand() * 30), 3))),
+            SamTag("ns", "i", int(rng.randint(0, 100000))),
+            SamTag("RG", "Z", "run1_model"),
+            SamTag("mv", "B", rng.randint(0, 2, 20).astype(np.uint8), subtype="c"),
+        ]
+        recs.append(
+            SamRecord(qname=f"read-{i}", flag=4, seq=seq, qual=qual, tags=tags)
+        )
+    return recs
+
+
+class TestRoundTrip:
+    def test_unmapped(self, tmp_path):
+        path = tmp_path / "t.cram"
+        recs = _unmapped_records(25)
+        with open(path, "wb") as f:
+            w = CramWriter(f, _header())
+            for r in recs:
+                w.write(r)
+            w.close()
+
+        rd = CramReader(path)
+        assert "@RG" in rd.header_text
+        got = list(rd.records())
+        assert len(got) == len(recs)
+        for a, b in zip(recs, got):
+            assert b.qname == a.qname
+            assert b.flag == a.flag
+            assert b.seq == a.seq
+            assert b.qual == a.qual
+            want_tags = {t.tag: t for t in a.tags}
+            got_tags = {t.tag: t for t in b.tags}
+            assert set(got_tags) == set(want_tags)
+            assert got_tags["qs"].value == pytest.approx(want_tags["qs"].value)
+            assert got_tags["ns"].value == want_tags["ns"].value
+            assert got_tags["RG"].value == want_tags["RG"].value
+            np.testing.assert_array_equal(
+                got_tags["mv"].value, want_tags["mv"].value
+            )
+
+    def test_mapped_with_cigar(self, tmp_path):
+        path = tmp_path / "m.cram"
+        recs = [
+            SamRecord(
+                qname="m1", flag=0, rname="chr1", pos=100, mapq=60,
+                cigar="5S10M2I8M3D7M", seq="ACGTACGTACGTACGTACGTACGTACGTACGT",
+                qual="I" * 32, tags=[SamTag("NM", "i", 5)],
+            ),
+            SamRecord(
+                qname="m2", flag=16, rname="chr2", pos=500, mapq=30,
+                cigar="20M", seq="A" * 20, qual="5" * 20, tags=[],
+            ),
+            SamRecord(qname="u1", flag=4, seq="ACGT", qual="IIII", tags=[]),
+        ]
+        with open(path, "wb") as f:
+            w = CramWriter(f, _header(with_refs=True))
+            for r in recs:
+                w.write(r)
+            w.close()
+        got = list(CramReader(path).records())
+        assert len(got) == 3
+        for a, b in zip(recs, got):
+            assert (b.qname, b.flag, b.rname, b.pos, b.mapq) == (
+                a.qname, a.flag, a.rname, a.pos, a.mapq
+            )
+            assert b.cigar == a.cigar
+            assert b.seq == a.seq
+            assert b.qual == a.qual
+
+    def test_multi_slice(self, tmp_path):
+        from dorado_tpu.io import cram as cram_mod
+
+        old = cram_mod._SEQS_PER_SLICE
+        cram_mod._SEQS_PER_SLICE = 7
+        try:
+            path = tmp_path / "s.cram"
+            recs = _unmapped_records(23, seed=3)
+            with open(path, "wb") as f:
+                w = CramWriter(f, _header())
+                for r in recs:
+                    w.write(r)
+                w.close()
+            got = list(CramReader(path).records())
+            assert [g.qname for g in got] == [r.qname for r in recs]
+            assert [g.seq for g in got] == [r.seq for r in recs]
+        finally:
+            cram_mod._SEQS_PER_SLICE = old
+
+    def test_empty(self, tmp_path):
+        path = tmp_path / "e.cram"
+        with open(path, "wb") as f:
+            w = CramWriter(f, _header())
+            w.close()
+        st = scan_structure(path)
+        assert st["eof"] and st["records"] == 0
+        assert list(CramReader(path).records()) == []
+
+
+class TestCliCram:
+    def test_basecaller_cram_output(self, tmp_path):
+        """basecaller -o out.cram emits CRAM readable by our own reader
+        (reference selects OutputMode::CRAM from the extension,
+        hts_utils/sequence_file_format.cpp)."""
+        import os
+        import shutil
+        import subprocess
+        import sys
+
+        import jax
+
+        from dorado_tpu.config import load_model_config
+        from dorado_tpu.models.crf_model import init_lstm_crf_params
+        from dorado_tpu.models.load import save_lstm_params
+
+        repo = Path(__file__).resolve().parent.parent
+        fast = "dna_r10.4.1_e8.2_260bps_fast@v4.0.0"
+        cfg_src = Path("/root/reference/tests/data/model_configs") / fast
+        pod5 = Path("/root/reference/tests/data/pod5/dna_r10.4.1_e8.2_400bps_5khz")
+        if not cfg_src.exists() or not pod5.exists():
+            pytest.skip("reference fixtures unavailable")
+        d = tmp_path / fast
+        d.mkdir()
+        shutil.copy(cfg_src / "config.toml", d / "config.toml")
+        cfg = load_model_config(d)
+        save_lstm_params(cfg, init_lstm_crf_params(cfg, jax.random.PRNGKey(0)), d)
+
+        out = tmp_path / "calls.cram"
+        env = {**os.environ, "JAX_PLATFORMS": "cpu", "PYTHONPATH": str(repo)}
+        r = subprocess.run(
+            [sys.executable, "-m", "dorado_tpu", "basecaller", str(d), str(pod5),
+             "--decoder", "viterbi", "-b", "4", "-c", "4000", "-o", str(out)],
+            capture_output=True, text=True, timeout=400, cwd=repo, env=env,
+        )
+        assert r.returncode == 0, r.stderr
+        rd = CramReader(out)
+        recs = list(rd.records())
+        assert len(recs) == 3
+        for rec in recs:
+            assert rec.flag & 0x4
+            tag_names = {t.tag for t in rec.tags}
+            assert {"qs", "ns", "RG"} <= tag_names
+        assert "@PG" in rd.header_text
+
+
+@pytest.mark.skipif(not REF_CRAMS, reason="no reference CRAM fixtures")
+class TestReferenceFixtures:
+    """The container/block framing must walk htslib's own files cleanly."""
+
+    def test_structural_parse(self):
+        for p in REF_CRAMS:
+            st = scan_structure(p)
+            assert st["version"][0] == 3
+            assert st["eof"], f"no EOF container in {p}"
+            assert st["records"] > 0
+            assert st["containers"] >= 1
