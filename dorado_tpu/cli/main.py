@@ -185,7 +185,11 @@ def _run_basecaller(args: argparse.Namespace) -> int:
     if args.resume_from:
         from dorado_tpu.io.bam_reader import read_records
 
-        _, resume_records = read_records(args.resume_from)
+        header_text, resume_records = read_records(args.resume_from)
+        err = _validate_resume_cl(header_text, args, model_dir)
+        if err:
+            print(f"> {err}", file=sys.stderr)
+            return 1
         for rec in resume_records:
             pid = next((t.value for t in rec.tags if t.tag == "pi"), None)
             skip_read_ids.add(pid if pid else rec.qname)
@@ -406,6 +410,82 @@ def _run_basecaller(args: argparse.Namespace) -> int:
     # throughput log line parity: dorado/cli/cli_lib/ProgressTracker.cpp:73-77
     ProgressTracker(sys.stderr).summarise(stats, elapsed)
     return 0
+
+
+def _validate_resume_cl(header_text: str, args, model_dir) -> str | None:
+    """Refuse resuming with different model arguments.
+
+    Re-parses the --resume-from file's ``@PG ID:basecaller CL:`` header with
+    the basecaller argument parser and compares the resolved simplex model +
+    modified-bases selection against the current invocation — the reference's
+    validation in cli/cli_lib/basecaller.cpp:636-693. Returns an error
+    message, or None when consistent.
+    """
+    import shlex
+    from pathlib import Path as P
+
+    cl = None
+    for line in header_text.splitlines():
+        fields = line.split("\t")
+        if line.startswith("@PG") and "ID:basecaller" in fields:
+            for f in fields:
+                if f.startswith("CL:"):
+                    cl = f[3:]
+    if cl is None:
+        return (
+            "Failed to parse resume parameters: the --resume-from file has no "
+            "basecaller @PG 'CL' (Command Line) header. This can happen if "
+            "the HTS file headers were dropped."
+        )
+    tokens = shlex.split(cl)
+    if "basecaller" not in tokens:
+        return "Failed to parse resume parameters from the @PG CL header."
+    tokens = tokens[tokens.index("basecaller") + 1 :]
+
+    parser = argparse.ArgumentParser(prog="dorado_tpu", exit_on_error=False)
+    sub = parser.add_subparsers(dest="command")
+    _add_basecaller(sub)
+    try:
+        resume_args, _ = parser.parse_known_args(["basecaller", *tokens])
+    except (argparse.ArgumentError, SystemExit):
+        return "Failed to parse resume parameters from the @PG CL header."
+
+    def identity(ns, resolved_dir):
+        from dorado_tpu.models.registry import parse_model_complex
+
+        if resolved_dir is not None:
+            name = resolved_dir.name
+        else:
+            mc = parse_model_complex(ns.model)
+            if mc.is_path:
+                name = P(ns.model).name
+            else:
+                d = _resolve_model_arg(ns)
+                if d is None:
+                    return None
+                name = d.name
+        mods: tuple = ()
+        if getattr(ns, "modified_bases_models", None):
+            mods = tuple(
+                sorted(P(m).name for m in ns.modified_bases_models.split(","))
+            )
+        elif getattr(ns, "modified_bases", None):
+            mods = tuple(sorted(ns.modified_bases))
+        return (name, mods)
+
+    current = identity(args, model_dir)
+    resumed = identity(resume_args, None)
+    if resumed is None:
+        return (
+            "Could not resolve the model recorded in the --resume-from file "
+            "to validate resume parameters."
+        )
+    if current != resumed:
+        return (
+            "Inconsistent models used in this pipeline and those used in the "
+            f"--resume-from file. Current: {current}; Resumed: {resumed}."
+        )
+    return None
 
 
 def _resolve_model_arg(args: argparse.Namespace):
@@ -1346,8 +1426,31 @@ def _add_correct(sub: argparse._SubParsersAction) -> None:
     p.add_argument("--model-path", default=None,
                    help="HERRO TorchScript model (e.g. herro-v1) run via "
                         "the torch-CPU fallback scorer")
+    p.add_argument("--resume-from", default=None,
+                   help="Skip-set file of already-corrected read names; "
+                        "resumes after the furthest skipped read in input "
+                        "order (cli_lib/correct.cpp find_furthest_skipped_read)")
     _add_common_opts(p)
     p.set_defaults(func=_run_correct)
+
+
+def _load_skip_set(path: str) -> set[str]:
+    """First whitespace/':'-delimited token per non-blank line — ':' because
+    correct can emit multiple outputs per input with a ':<num>' suffix
+    (cli_lib/correct.cpp:253-277)."""
+    out = set()
+    with open(path) as fh:
+        for line in fh:
+            line = line.strip()
+            if not line:
+                continue
+            for i, ch in enumerate(line):
+                if ch in ": \t":
+                    line = line[:i]
+                    break
+            if line:
+                out.add(line)
+    return out
 
 
 def _run_correct(args: argparse.Namespace) -> int:
@@ -1355,6 +1458,30 @@ def _run_correct(args: argparse.Namespace) -> int:
 
     records = _read_fastq(args.reads)
     reads = [(r.qname, r.seq) for r in records]
+
+    targets = None
+    if args.resume_from:
+        from pathlib import Path as P
+
+        if not P(args.resume_from).exists():
+            print(f"> Input resume index file {args.resume_from} does not exist!",
+                  file=sys.stderr)
+            return 1
+        skip_set = _load_skip_set(args.resume_from)
+        # everything up to and including the furthest skipped read in input
+        # order is assumed complete (find_furthest_skipped_read semantics);
+        # the remaining targets still overlap against the full read set
+        furthest = -1
+        for i, (name, _) in enumerate(reads):
+            if name.split(":")[0] in skip_set:
+                furthest = i
+        if furthest >= 0:
+            print(
+                f"> Resuming after read {reads[furthest][0]} "
+                f"({furthest + 1}/{len(reads)} inputs already corrected)",
+                file=sys.stderr,
+            )
+            targets = {name for name, _ in reads[furthest + 1 :]}
     nn_scorer = None
     if args.model_path:
         from dorado_tpu.correct.nn_model import TorchScriptScorer
@@ -1364,7 +1491,7 @@ def _run_correct(args: argparse.Namespace) -> int:
     corrector = ReadCorrector(
         min_depth=args.min_depth, use_nn=args.nn, nn_scorer=nn_scorer
     )
-    corrected = corrector.correct(reads)
+    corrected = corrector.correct(reads, targets=targets)
 
     fh = sys.stdout if args.output == "-" else open(args.output, "w")
     for name, seq in corrected:

@@ -52,9 +52,16 @@ class ReadCorrector:
             self.nn_params = init_correction_model(jax.random.PRNGKey(0))
         self.stats = CorrectStats()
 
-    def correct(self, reads: list[tuple[str, str]]) -> list[tuple[str, str]]:
+    def correct(
+        self,
+        reads: list[tuple[str, str]],
+        targets: set[str] | None = None,
+    ) -> list[tuple[str, str]]:
         """[(name, seq)] -> [(name, corrected seq)] via all-vs-all overlap
-        consensus."""
+        consensus. ``targets`` restricts which reads are corrected/emitted
+        (resume support) while every read still serves as overlap evidence —
+        matching the reference, where resumed runs re-align against the full
+        index but only emit the remaining targets."""
         index = ReferenceIndex.build([(n, s) for n, s in reads])
         mapper = Mapper(index, max_alignments=self.max_overlaps_per_read)
 
@@ -72,6 +79,8 @@ class ReadCorrector:
 
         out = []
         for name, seq in reads:
+            if targets is not None and name not in targets:
+                continue
             self.stats.reads_total += 1
             ovl = overlaps[name]
             if len(ovl) < self.min_overlap_reads:

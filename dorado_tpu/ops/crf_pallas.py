@@ -275,17 +275,228 @@ def viterbi_path_pallas(scores_tnc, fixed_stay_score: float, interpret: bool = F
     """
     from dorado_tpu.ops.crf_scan import viterbi_traceback
 
-    choices, final = _viterbi_fwd_pallas(
-        scores_tnc, float(fixed_stay_score), interpret
-    )
+    if _use_block_layout(scores_tnc.shape[-1]):
+        choices, final = _viterbi_fwd_pallas_blk(
+            scores_tnc, float(fixed_stay_score), interpret
+        )
+    else:
+        choices, final = _viterbi_fwd_pallas(
+            scores_tnc, float(fixed_stay_score), interpret
+        )
     last_state = jnp.argmax(final, axis=-1).astype(jnp.int32)
     return viterbi_traceback(choices, last_state)
 
 
 def supports_pallas_decode(num_transitions: int) -> bool:
-    """P+G must fit VMEM alongside the streamed blocks (state_len <= 4)."""
+    """Dense [S, C] lattice matrices (small spaces) or the block-layout
+    kernels (sup's state_len 5, S=1024) — both stream through VMEM."""
     s = num_transitions // 4
-    return 2 * s * num_transitions * 4 <= 4 * 1024 * 1024
+    if 2 * s * num_transitions * 4 <= 4 * 1024 * 1024:
+        return True
+    # block layout needs only the [S/4, S] repeat matrix
+    return s <= 4096
+
+
+def _use_block_layout(c: int) -> bool:
+    s = c // 4
+    return 2 * s * c * 4 > 4 * 1024 * 1024
+
+
+# ----------------------------------------------------------------------
+# block-layout kernels (large state spaces, e.g. sup state_len 5)
+#
+# Scores are pre-permuted (one constant-index XLA gather pass) from the raw
+# flat layout c = s*4 + r to the *block* layout c' = r*S + s. In that
+# layout the lattice wiring needs no dense [S, C] matrices:
+#   - forward expansion per slot r is `repeat4(ec[rS/4:(r+1)S/4])`
+#     = slice @ R4 with R4 [S/4, S] one-hot — 4x fewer MXU FLOPs;
+#   - forward reduction is an elementwise sum over the 4 r-planes;
+#   - backward expansion is a broadcast of beta over r (free), and the
+#     reduction per slot is a contiguous 4-segment sum = plane @ R4^T.
+# ----------------------------------------------------------------------
+
+
+@functools.lru_cache(maxsize=None)
+def _repeat_matrices(num_states: int) -> tuple[np.ndarray, np.ndarray]:
+    """R4 [S/4, S] with R4[u, s] = 1 iff u == s>>2, and its transpose."""
+    s4 = num_states // 4
+    r4 = np.zeros((s4, num_states), np.float32)
+    r4[np.arange(num_states) >> 2, np.arange(num_states)] = 1.0
+    return r4, r4.T.copy()
+
+
+def block_permutation(num_states: int) -> np.ndarray:
+    """perm with scores_blk[..., r*S + s] = scores_raw[..., s*4 + r]."""
+    c = num_states * 4
+    cp = np.arange(c)
+    return ((cp % num_states) * 4 + (cp // num_states)).astype(np.int32)
+
+
+def _lse_fwd_blk_kernel(sc_ref, r4_ref, out_ref, carry_ref, *, bt, stay_factor, s4):
+    t_idx = pl.program_id(1)
+
+    @pl.when(t_idx == 0)
+    def _():
+        carry_ref[:] = jnp.zeros_like(carry_ref)
+
+    s = 4 * s4
+    carry = carry_ref[:]
+    for i in range(bt):
+        m = jnp.max(carry, axis=-1, keepdims=True)
+        ec = jnp.exp(carry - m)
+        red = ec * stay_factor
+        for r in range(4):
+            ecp = _dot2(ec[:, r * s4 : (r + 1) * s4], r4_ref[:])
+            red = red + ecp * jnp.exp(sc_ref[i, :, r * s : (r + 1) * s])
+        carry = m + jnp.log(red)
+        out_ref[i] = carry
+    carry_ref[:] = carry
+
+
+def _lse_bwd_blk_kernel(sc_ref, r4t_ref, out_ref, carry_ref, *, bt, stay_factor, s4):
+    t_idx = pl.program_id(1)
+
+    @pl.when(t_idx == 0)
+    def _():
+        carry_ref[:] = jnp.zeros_like(carry_ref)
+
+    s = 4 * s4
+    carry = carry_ref[:]
+    for i in range(bt):
+        j = bt - 1 - i
+        m = jnp.max(carry, axis=-1, keepdims=True)
+        eb = jnp.exp(carry - m)
+        parts = []
+        for r in range(4):
+            prod = eb * jnp.exp(sc_ref[j, :, r * s : (r + 1) * s])
+            parts.append(_dot2(prod, r4t_ref[:]))  # [bn, S/4]
+        red = jnp.concatenate(parts, axis=-1) + eb * stay_factor
+        carry = m + jnp.log(red)
+        out_ref[j] = carry
+    carry_ref[:] = carry
+
+
+@functools.partial(
+    jax.jit, static_argnames=("stay_score", "reverse", "interpret")
+)
+def _lse_scan_pallas_blk(scores_tnc, stay_score: float, reverse: bool, interpret: bool):
+    """LSE scan over *raw-layout* scores via the block-layout kernel."""
+    t_len, n, c = scores_tnc.shape
+    s = c // 4
+    s4 = s // 4
+    bn = _pick_bn(n)
+    bt = _pick_bt(t_len, bn, c)
+    n_tiles, t_tiles = n // bn, t_len // bt
+    stay_factor = float(np.exp(stay_score))
+
+    perm = jnp.asarray(block_permutation(s))
+    blk = scores_tnc.astype(jnp.float32)[..., perm]
+
+    r4, r4t = _repeat_matrices(s)
+    mat = r4t if reverse else r4
+    kernel = functools.partial(
+        _lse_bwd_blk_kernel if reverse else _lse_fwd_blk_kernel,
+        bt=bt,
+        stay_factor=stay_factor,
+        s4=s4,
+    )
+    if reverse:
+        t_map = lambda b, t: (t_tiles - 1 - t, b, 0)  # noqa: E731
+    else:
+        t_map = lambda b, t: (t, b, 0)  # noqa: E731
+
+    f = pl.pallas_call(
+        kernel,
+        grid=(n_tiles, t_tiles),
+        in_specs=[
+            pl.BlockSpec((bt, bn, c), t_map, memory_space=pltpu.VMEM),
+            pl.BlockSpec(mat.shape, lambda b, t: (0, 0), memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((bt, bn, s), t_map, memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((t_len, n, s), jnp.float32),
+        scratch_shapes=[pltpu.VMEM((bn, s), jnp.float32)],
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("arbitrary", "arbitrary")
+        ),
+        interpret=interpret,
+    )
+    hist = f(blk, jnp.asarray(mat, jnp.bfloat16))
+    init = jnp.zeros((1, n, s), jnp.float32)
+    if reverse:
+        return jnp.concatenate([hist, init], axis=0)
+    return jnp.concatenate([init, hist], axis=0)
+
+
+def _viterbi_blk_kernel(
+    sc_ref, r4_ref, out_ref, final_ref, carry_ref, *, bt, stay_score, s4
+):
+    t_idx = pl.program_id(1)
+
+    @pl.when(t_idx == 0)
+    def _():
+        carry_ref[:] = jnp.zeros_like(carry_ref)
+
+    s = 4 * s4
+    carry = carry_ref[:]
+    for i in range(bt):
+        carry = carry - jnp.max(carry, axis=-1, keepdims=True)
+        red = []
+        for r in range(4):
+            avp = _dot2(carry[:, r * s4 : (r + 1) * s4], r4_ref[:])
+            red.append(avp + sc_ref[i, :, r * s : (r + 1) * s])
+        best = jnp.maximum(jnp.maximum(red[0], red[1]), jnp.maximum(red[2], red[3]))
+        best_r = jnp.where(
+            jnp.maximum(red[0], red[1]) >= jnp.maximum(red[2], red[3]),
+            jnp.where(red[0] >= red[1], 0, 1),
+            jnp.where(red[2] >= red[3], 2, 3),
+        )
+        stay = carry + stay_score
+        is_stay = stay >= best
+        carry = jnp.where(is_stay, stay, best)
+        out_ref[i] = jnp.where(is_stay, 4, best_r).astype(jnp.int8)
+    carry_ref[:] = carry
+    final_ref[:] = carry
+
+
+@functools.partial(jax.jit, static_argnames=("stay_score", "interpret"))
+def _viterbi_fwd_pallas_blk(scores_tnc, stay_score: float, interpret: bool):
+    t_len, n, c = scores_tnc.shape
+    s = c // 4
+    s4 = s // 4
+    bn = _pick_bn(n)
+    bt = _pick_bt(t_len, bn, c)
+    n_tiles, t_tiles = n // bn, t_len // bt
+
+    perm = jnp.asarray(block_permutation(s))
+    blk = scores_tnc.astype(jnp.float32)[..., perm]
+    r4, _ = _repeat_matrices(s)
+    kernel = functools.partial(
+        _viterbi_blk_kernel, bt=bt, stay_score=float(stay_score), s4=s4
+    )
+    t_map = lambda b, t: (t, b, 0)  # noqa: E731
+
+    f = pl.pallas_call(
+        kernel,
+        grid=(n_tiles, t_tiles),
+        in_specs=[
+            pl.BlockSpec((bt, bn, c), t_map, memory_space=pltpu.VMEM),
+            pl.BlockSpec(r4.shape, lambda b, t: (0, 0), memory_space=pltpu.VMEM),
+        ],
+        out_specs=[
+            pl.BlockSpec((bt, bn, s), t_map, memory_space=pltpu.VMEM),
+            pl.BlockSpec((bn, s), lambda b, t: (b, 0), memory_space=pltpu.VMEM),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((t_len, n, s), jnp.int8),
+            jax.ShapeDtypeStruct((n, s), jnp.float32),
+        ],
+        scratch_shapes=[pltpu.VMEM((bn, s), jnp.float32)],
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("arbitrary", "arbitrary")
+        ),
+        interpret=interpret,
+    )
+    return f(blk, jnp.asarray(r4, jnp.bfloat16))
 
 
 def use_pallas_decode() -> bool:
@@ -294,9 +505,17 @@ def use_pallas_decode() -> bool:
 
 def forward_scores_pallas(scores_tnc, fixed_stay_score: float, interpret: bool = False):
     """alpha [T+1, N, S]; drop-in for crf_scan.forward_scores on TPU."""
+    if _use_block_layout(scores_tnc.shape[-1]):
+        return _lse_scan_pallas_blk(
+            scores_tnc, float(fixed_stay_score), False, interpret
+        )
     return _lse_scan_pallas(scores_tnc, float(fixed_stay_score), False, interpret)
 
 
 def backward_scores_pallas(scores_tnc, fixed_stay_score: float, interpret: bool = False):
     """beta [T+1, N, S]; drop-in for crf_scan.backward_scores on TPU."""
+    if _use_block_layout(scores_tnc.shape[-1]):
+        return _lse_scan_pallas_blk(
+            scores_tnc, float(fixed_stay_score), True, interpret
+        )
     return _lse_scan_pallas(scores_tnc, float(fixed_stay_score), True, interpret)

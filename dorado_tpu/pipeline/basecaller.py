@@ -91,6 +91,7 @@ class BasecallerPipeline:
         only_read_ids: set | None = None,
         max_reads: int | None = None,
         force_rna_adapter_trim: bool = False,
+        mesh=None,
     ):
         import jax.numpy as jnp
 
@@ -105,6 +106,7 @@ class BasecallerPipeline:
             decoder=decoder,
             compute_dtype=compute_dtype or jnp.float32,
             use_pallas=use_pallas,
+            mesh=mesh,
         )
         self.overlap = int(overlap or config.basecaller.overlap)
         self.overlap -= self.overlap % config.stride

@@ -162,6 +162,35 @@ class TestCliSurface:
         assert r.returncode == 0, r.stderr
         assert "Corrected 6/6" in r.stderr
 
+        # resume from a skip set: everything up to the furthest skipped read
+        # is treated as done (cram-correct-resume-0*.t semantics); remaining
+        # targets still use the full read set as overlap evidence
+        skip = tmp_path / "skip_set.txt"
+        skip.write_text("r3\n")
+        r = run_cli("correct", str(src), "--resume-from", str(skip),
+                    "-o", str(tmp_path / "c2.fasta"))
+        assert r.returncode == 0, r.stderr
+        assert "Resuming after read r3" in r.stderr
+        names = [
+            line[1:].strip()
+            for line in (tmp_path / "c2.fasta").read_text().splitlines()
+            if line.startswith(">")
+        ]
+        assert names == ["r4", "r5"]
+
+        # empty skip set: nothing is skipped (cram-correct-resume-01.t)
+        skip.write_text("\n")
+        r = run_cli("correct", str(src), "--resume-from", str(skip),
+                    "-o", str(tmp_path / "c3.fasta"))
+        assert r.returncode == 0, r.stderr
+        assert "Corrected 6/6" in r.stderr
+
+        # missing skip file: refused (correct.cpp:356-358)
+        r = run_cli("correct", str(src), "--resume-from",
+                    str(tmp_path / "nope.txt"), "-o", str(tmp_path / "c4.fasta"))
+        assert r.returncode == 1
+        assert "does not exist" in r.stderr
+
     def test_polish(self, ref_and_reads, tmp_path):
         ref, reads = ref_and_reads
         r = run_cli(
@@ -208,6 +237,22 @@ class TestCliSurface:
         assert r.returncode == 0, r.stderr
         assert "Resuming: 3 reads" in r.stderr
         assert "Reads basecalled: 0" in r.stderr
+
+    def test_resume_model_mismatch_refused(self, model_dir, basecalled_bam, tmp_path):
+        """Resuming with a different model must be refused by @PG CL
+        validation (cli_lib/basecaller.cpp:636-693)."""
+        import shutil as _sh
+
+        other = tmp_path / "dna_r10.4.1_e8.2_260bps_hac@v4.0.0"
+        _sh.copytree(model_dir, other)
+        out = tmp_path / "resumed.bam"
+        r = run_cli(
+            "basecaller", str(other), str(POD5_DIR),
+            "--decoder", "viterbi", "-b", "4", "-c", "4000",
+            "--resume-from", str(basecalled_bam), "-o", str(out),
+        )
+        assert r.returncode == 1
+        assert "Inconsistent models" in r.stderr
 
     def test_demux_sample_sheet(self, tmp_path):
         from dorado_tpu.demux import get_barcode_sequence, get_kit_info

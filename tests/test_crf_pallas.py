@@ -61,5 +61,29 @@ def test_viterbi_matches_xla():
 
 
 def test_supports_pallas_decode():
-    assert supports_pallas_decode(1024)  # hac / fast (state_len 4)
-    assert not supports_pallas_decode(4096)  # sup transformer space
+    assert supports_pallas_decode(1024)  # hac / fast: dense-lattice kernels
+    assert supports_pallas_decode(4096)  # sup: block-layout kernels
+
+
+class TestBlockLayout:
+    """sup-sized spaces (state_len 5, C=4096) route through the block-layout
+    kernels: scores pre-permuted to c' = r*S + s, wiring via the [S/4, S]
+    repeat matrix instead of dense [S, C] lattice matrices."""
+
+    def test_lse_scans_match_xla(self):
+        scores = _scores(6, 4, 4096, seed=4, scale=1.5)
+        a_ref = np.asarray(forward_scores(scores, 2.0))
+        b_ref = np.asarray(backward_scores(scores, 2.0))
+        a_p = np.asarray(forward_scores_pallas(scores, 2.0, interpret=True))
+        b_p = np.asarray(backward_scores_pallas(scores, 2.0, interpret=True))
+        assert np.abs(a_p - a_ref).max() < 1e-3
+        assert np.abs(b_p - b_ref).max() < 1e-3
+
+    def test_viterbi_matches_xla(self):
+        scores = _scores(8, 2, 4096, seed=5, scale=1.5)
+        st_ref, mv_ref = (np.asarray(x) for x in viterbi_path(scores, 2.0))
+        st_p, mv_p = (
+            np.asarray(x) for x in viterbi_path_pallas(scores, 2.0, interpret=True)
+        )
+        np.testing.assert_array_equal(st_p, st_ref)
+        np.testing.assert_array_equal(mv_p, mv_ref)

@@ -1,0 +1,115 @@
+"""Multi-process distributed backend test: two real processes, each with 2
+virtual CPU devices, joined via jax.distributed — exercising
+init_distributed, POD5 file sharding, the end-of-run global-stats
+all-reduce, the cross-process barrier, and the per-host BAM shard merge
+(parallel/distributed.py; SURVEY §2.4/§5.8 multi-host design)."""
+
+import os
+import socket
+import subprocess
+import sys
+import textwrap
+from pathlib import Path
+
+import numpy as np
+import pytest
+
+REPO = Path(__file__).resolve().parent.parent
+
+WORKER = textwrap.dedent(
+    """
+    import os, sys, json
+    sys.path.insert(0, {repo!r})
+    import jax
+    jax.config.update("jax_platforms", "cpu")
+
+    from dorado_tpu.parallel.distributed import (
+        all_reduce_stats, barrier, host_output_path, init_distributed,
+        merge_host_bams, shard_files_for_host,
+    )
+
+    pid = int(sys.argv[1])
+    coord = sys.argv[2]
+    outdir = sys.argv[3]
+    pi, pc = init_distributed(coord, num_processes=2, process_id=pid)
+    assert (pi, pc) == (pid, 2), (pi, pc)
+    assert len(jax.devices()) == 4  # 2 local x 2 processes
+
+    from pathlib import Path
+    files = [Path(f"f{{i}}.pod5") for i in range(7)]
+    mine = shard_files_for_host(files)
+    assert len(mine) in (3, 4)
+
+    # each host writes its own BAM shard
+    from dorado_tpu.io.sam import BamWriter, SamHeader, SamRecord
+    out = Path(outdir) / "calls.bam"
+    my_out = host_output_path(out)
+    header = SamHeader()
+    n_mine = 3 if pid == 0 else 2
+    with open(my_out, "wb") as f:
+        w = BamWriter(f, header)
+        for i in range(n_mine):
+            w.write(SamRecord(qname=f"h{{pid}}-r{{i}}", seq="ACGT", qual="IIII"))
+        w.close()
+
+    stats = all_reduce_stats({{"reads": float(n_mine), "bases": 4.0 * n_mine}})
+    assert stats["reads"] == 5.0, stats
+    assert stats["bases"] == 20.0, stats
+
+    barrier("pre-merge")
+    if pid == 0:
+        appended = merge_host_bams(out, 2)
+        assert appended == 2, appended
+        from dorado_tpu.io.bam_reader import stream_bam
+        with open(out, "rb") as f:
+            _, _, records = stream_bam(f)
+            names = [r.qname for r in records]
+        assert names == ["h0-r0", "h0-r1", "h0-r2", "h1-r0", "h1-r1"], names
+    barrier("post-merge")
+    print(f"WORKER_OK {{pid}}")
+    """
+)
+
+
+def _free_port() -> int:
+    s = socket.socket()
+    s.bind(("127.0.0.1", 0))
+    port = s.getsockname()[1]
+    s.close()
+    return port
+
+
+@pytest.mark.timeout(300)
+def test_two_process_distributed(tmp_path):
+    worker = tmp_path / "worker.py"
+    worker.write_text(WORKER.format(repo=str(REPO)))
+    coord = f"127.0.0.1:{_free_port()}"
+    env = {
+        **os.environ,
+        "JAX_PLATFORMS": "cpu",
+        "XLA_FLAGS": "--xla_force_host_platform_device_count=2",
+        "PYTHONPATH": str(REPO),
+    }
+    procs = [
+        subprocess.Popen(
+            [sys.executable, str(worker), str(pid), coord, str(tmp_path)],
+            stdout=subprocess.PIPE,
+            stderr=subprocess.PIPE,
+            text=True,
+            env=env,
+        )
+        for pid in range(2)
+    ]
+    outs = []
+    for p in procs:
+        try:
+            out, err = p.communicate(timeout=240)
+        except subprocess.TimeoutExpired:
+            for q in procs:
+                q.kill()
+            raise
+        outs.append((p.returncode, out, err))
+    for rc, out, err in outs:
+        assert rc == 0, err[-3000:]
+    assert any("WORKER_OK 0" in out for _, out, _ in outs)
+    assert any("WORKER_OK 1" in out for _, out, _ in outs)
