@@ -55,35 +55,16 @@ def _chain(q_pos: np.ndarray, r_pos: np.ndarray, k: int, max_gap: int = 5000,
            lookback: int = 50) -> tuple[np.ndarray, int]:
     """Colinear chaining over anchors sorted by (r_pos, q_pos); returns the
     indices of the best chain and its score (minimap2 chaining recurrence
-    with a simplified gap cost)."""
-    n = len(q_pos)
+    with a simplified gap cost). The sequential DP runs in C++
+    (native/chain.cpp) — a 110 kb read carries ~20k anchors, far too many
+    for a Python inner loop."""
     order = np.lexsort((q_pos, r_pos))
     q = q_pos[order]
     r = r_pos[order]
-    score = np.full(n, k, dtype=np.float64)
-    parent = np.full(n, -1, dtype=np.int64)
-    for i in range(n):
-        lo = max(0, i - lookback)
-        for j in range(i - 1, lo - 1, -1):
-            dq = q[i] - q[j]
-            dr = r[i] - r[j]
-            if dq <= 0 or dr <= 0 or dq > max_gap or dr > max_gap:
-                continue
-            gap = abs(dr - dq)
-            match = min(min(dq, dr), k)
-            gap_cost = 0.01 * k * gap + 0.5 * np.log2(gap + 1) if gap else 0.0
-            s = score[j] + match - gap_cost
-            if s > score[i]:
-                score[i] = s
-                parent[i] = j
-    best = int(np.argmax(score))
-    chain = []
-    i = best
-    while i != -1:
-        chain.append(i)
-        i = int(parent[i])
-    chain.reverse()
-    return order[np.asarray(chain, dtype=np.int64)], int(score[best])
+    from dorado_tpu.native import chain_native
+
+    chain, score = chain_native(q, r, k, max_gap=max_gap, lookback=lookback)
+    return order[chain.astype(np.int64)], int(score)
 
 
 class Mapper:
@@ -146,29 +127,55 @@ class Mapper:
             r_hi = int(chain[-1, 1]) + idx.k
 
             qseq = query if strand == 0 else reverse_complement(query)
-            # extend chain span to query ends, clamped to the reference
-            ext_left = q_lo
-            ext_right = len(qseq) - q_hi
-            r_start = max(0, r_lo - int(ext_left * 1.2) - 32)
-            r_end = min(idx.lengths[sid], r_hi + int(ext_right * 1.2) + 32)
+            # extend the chained span toward the query ends, but never by
+            # more than the reference that exists in that direction (plus
+            # slack): a read overhanging the contig end must be soft-clipped,
+            # not absorbed as a giant insertion (minimap2 end handling) —
+            # otherwise the banded aligner starts at band ~= the overhang.
+            ref_len = int(idx.lengths[sid])
+            ext_l = min(q_lo, int(r_lo * 1.1) + 64)
+            ext_r = min(len(qseq) - q_hi, int((ref_len - r_hi) * 1.1) + 64)
+            ql0 = q_lo - ext_l
+            qhi0 = q_hi + ext_r
+            r_start = max(0, r_lo - int(ext_l * 1.2) - 32)
+            r_end = min(ref_len, r_hi + int(ext_r * 1.2) + 32)
             ref_seq = idx.seqs[sid][r_start:r_end]
 
-            res = nat_align(qseq, ref_seq, mode=1)  # HW: free ref end gaps
+            res = nat_align(qseq[ql0:qhi0], ref_seq, mode=1)  # HW: free ref end gaps
             if res.distance < 0:
                 continue
-            cigar = _ops_to_cigar(res.ops)
-            n_match = int((res.ops == 0).sum())
+            # leading/trailing insertions become soft clips (query bases that
+            # consumed no reference)
+            ops = res.ops
+            lead = 0
+            while lead < len(ops) and ops[lead] == 1:
+                lead += 1
+            trail = 0
+            while trail < len(ops) - lead and ops[len(ops) - 1 - trail] == 1:
+                trail += 1
+            core = ops[lead : len(ops) - trail]
+            if len(core) == 0:
+                continue
+            q_start = ql0 + lead
+            q_end = qhi0 - trail
+            clips_l = q_start
+            clips_r = len(qseq) - q_end
+            cigar = (
+                (f"{clips_l}S" if clips_l else "")
+                + _ops_to_cigar(core)
+                + (f"{clips_r}S" if clips_r else "")
+            )
             results.append(
                 Alignment(
                     ref_name=idx.names[sid],
                     ref_start=r_start + res.t_start,
                     ref_end=r_start + res.t_end,
-                    q_start=0,
-                    q_end=len(qseq),
+                    q_start=q_start,
+                    q_end=q_end,
                     is_reverse=bool(strand),
                     mapq=self._mapq(best_score, second_score),
                     cigar=cigar,
-                    nm=int(res.distance),
+                    nm=int(res.distance) - lead - trail,
                     score=score,
                     is_secondary=rank > 0,
                 )

@@ -75,6 +75,18 @@ def _get_lib() -> ctypes.CDLL:
             ctypes.POINTER(ctypes.c_int32),
             ctypes.c_char_p,
         ]
+        _i64p = np.ctypeslib.ndpointer(dtype=np.int64, flags="C_CONTIGUOUS")
+        lib.dt_chain.restype = ctypes.c_int
+        lib.dt_chain.argtypes = [
+            _i64p,
+            _i64p,
+            ctypes.c_int,
+            ctypes.c_int,
+            ctypes.c_int,
+            ctypes.c_int,
+            np.ctypeslib.ndpointer(dtype=np.int32, flags="C_CONTIGUOUS"),
+            ctypes.POINTER(ctypes.c_double),
+        ]
         lib.dt_beam_search.restype = ctypes.c_int
         _f32p = np.ctypeslib.ndpointer(dtype=np.float32, flags="C_CONTIGUOUS")
         lib.dt_beam_search.argtypes = [
@@ -131,6 +143,25 @@ def beam_search_native(
     if rc != 0:
         raise RuntimeError(f"dt_beam_search failed with code {rc}")
     return states, moves, qual, float(score.value)
+
+
+def chain_native(
+    q_pos: np.ndarray,
+    r_pos: np.ndarray,
+    k: int,
+    max_gap: int = 5000,
+    lookback: int = 50,
+) -> tuple[np.ndarray, float]:
+    """Best colinear chain over anchors sorted by (r, q): returns (indices
+    into the sorted order, score). C++ twin of mapper._chain's recurrence."""
+    lib = _get_lib()
+    q = np.ascontiguousarray(q_pos, dtype=np.int64)
+    r = np.ascontiguousarray(r_pos, dtype=np.int64)
+    n = len(q)
+    out = np.zeros(max(1, n), dtype=np.int32)
+    score = ctypes.c_double()
+    length = lib.dt_chain(q, r, n, k, max_gap, lookback, out, ctypes.byref(score))
+    return out[:length], float(score.value)
 
 
 def make_equality_table(pairs: list[tuple[str, str]]) -> bytes:

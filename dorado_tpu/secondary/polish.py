@@ -27,11 +27,38 @@ class PolishStats:
     contigs: int = 0
 
 
+def _overlap_split(p1, p2) -> tuple[int, int]:
+    """Trim point between two consecutive window pileups.
+
+    Returns (end_1, start_2): window 1 keeps columns [.., end_1), window 2
+    keeps [start_2, ..). Mirrors sample_trimming.cpp overlap_indices: when
+    the overlapping (major, minor) column runs are structurally identical the
+    split is their midpoint; otherwise a heuristic splits at the middle major
+    position. Abutted/gapped windows keep everything.
+    """
+    from bisect import bisect_left, bisect_right
+
+    pos1 = list(zip(p1.positions_major.tolist(), p1.positions_minor.tolist()))
+    pos2 = list(zip(p2.positions_major.tolist(), p2.positions_minor.tolist()))
+    if not pos1 or not pos2 or pos2[0] > pos1[-1]:
+        return len(pos1), 0
+    idx1 = bisect_left(pos1, pos2[0])  # overlap start in window 1
+    idx2 = bisect_right(pos2, pos1[-1])  # overlap end in window 2
+    if pos1[idx1:] == pos2[:idx2]:
+        pad_1 = idx2 // 2
+        return idx1 + pad_1, pad_1
+    # structures differ (e.g. different read sets created different insertion
+    # columns): split both at the middle major position of the overlap
+    mid = (pos2[0][0] + pos1[-1][0]) // 2 + 1
+    return bisect_left(pos1, (mid, 0)), bisect_left(pos2, (mid, 0))
+
+
 class PolishPipeline:
     def __init__(
         self,
         params,
         window_len: int = 10000,
+        window_overlap: int = 1000,
         batch_size: int = 8,
         forward=None,
         feature_kind: str = "counts",
@@ -39,9 +66,15 @@ class PolishPipeline:
     ):
         """feature_kind "counts" feeds the medaka counts pileup (GRUModel);
         "read_level" feeds the [P, D, 4] read matrix (LatentSpaceLSTM /
-        SlotAttentionConsensus / VariantPerceiver, encoder_read_alignment)."""
+        SlotAttentionConsensus / VariantPerceiver, encoder_read_alignment).
+
+        Windows overlap by ``window_overlap`` and consecutive windows are
+        trimmed at the midpoint of their overlap, so every emitted column was
+        predicted with model context on both sides (the reference's
+        secondary/consensus/sample_trimming.cpp trim_samples)."""
         self.params = params
         self.window_len = window_len
+        self.window_overlap = min(window_overlap, max(0, window_len - 1))
         self.batch_size = batch_size
         self.feature_kind = feature_kind
         self.min_depth = min_depth
@@ -58,8 +91,7 @@ class PolishPipeline:
         region_end: int | None = None,
         with_quals: bool = False,
     ):
-        """Polish one contig; windows are non-overlapping (window stitching
-        simply concatenates — windows cut at major-position boundaries).
+        """Polish one contig with overlapping, midpoint-trimmed windows.
         ``region_start/region_end`` restrict polishing to a sub-span (the
         --regions option); flanks outside the span keep the draft.
         With ``with_quals`` returns (seq, qual_phred_string)."""
@@ -70,16 +102,42 @@ class PolishPipeline:
         if region_start > 0:
             pieces.append(draft[:region_start])
             quals.append("!" * region_start)
-        for start in range(region_start, region_end, self.window_len):
+
+        stride = max(1, self.window_len - self.window_overlap)
+        piles = []
+        start = region_start
+        while start < region_end:
             end = min(region_end, start + self.window_len)
             window_reads = [
                 r for r in reads if r.ref_start < end and self._read_end(r) > start
             ]
-            pile = build_pileup(window_reads, start, end)
+            piles.append((build_pileup(window_reads, start, end), window_reads, start, end))
+            if end >= region_end:
+                break
+            start += stride
+
+        # per-window trim ranges: midpoint of the positional overlap
+        keeps = []
+        lo = 0
+        for i, (pile, _, _, _) in enumerate(piles):
+            if i + 1 < len(piles):
+                end_1, start_2 = _overlap_split(pile, piles[i + 1][0])
+            else:
+                end_1, start_2 = len(pile.positions_major), 0
+            keeps.append((lo, end_1))
+            lo = start_2
+
+        for (pile, window_reads, start, end), (klo, khi) in zip(piles, keeps):
+            self.stats.windows += 1
             if pile.depth.max(initial=0.0) == 0:
-                pieces.append(draft[start:end])  # no coverage: keep draft
-                quals.append("!" * (end - start))
-                self.stats.windows += 1
+                # no coverage: keep the draft over the kept major positions
+                majors = pile.positions_major[klo:khi]
+                minors = pile.positions_minor[klo:khi]
+                kept = [
+                    draft[m] for m, mi in zip(majors, minors) if mi == 0
+                ]
+                pieces.append("".join(kept))
+                quals.append("!" * len(kept))
                 continue
             if self.feature_kind == "read_level":
                 from dorado_tpu.secondary.read_matrix import build_read_matrix
@@ -100,7 +158,7 @@ class PolishPipeline:
             out = []
             qual_out = []
             depth_floor = max(1, self.min_depth)
-            for i in range(len(classes)):
+            for i in range(klo, khi):
                 if pile.depth[i] < depth_floor:
                     if pile.positions_minor[i] == 0:
                         out.append(draft[pile.positions_major[i]])
@@ -115,7 +173,6 @@ class PolishPipeline:
                     qual_out.append(chr(33 + q))
             pieces.append("".join(out))
             quals.append("".join(qual_out))
-            self.stats.windows += 1
         if region_end < n:
             pieces.append(draft[region_end:])
             quals.append("!" * (n - region_end))

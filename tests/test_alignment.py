@@ -127,3 +127,105 @@ class TestMapper:
             int(n) for n, op in re.findall(r"(\d+)([MIDNSHP=X])", a.cigar) if op in "MIS=X"
         )
         assert qlen == len(read)
+
+
+REF_CORRECTION = "/root/reference/tests/data/read_correction"
+
+
+def _load_fastx(path):
+    out = []
+    name, seq = None, []
+    with open(path) as fh:
+        lines = fh.read().splitlines()
+    if lines and lines[0].startswith("@"):  # fastq
+        for i in range(0, len(lines), 4):
+            out.append((lines[i][1:].split()[0], lines[i + 1]))
+        return out
+    for line in lines:
+        if line.startswith(">"):
+            if name is not None:
+                out.append((name, "".join(seq)))
+            name, seq = line[1:].split()[0], []
+        else:
+            seq.append(line)
+    if name is not None:
+        out.append((name, "".join(seq)))
+    return out
+
+
+@pytest.mark.skipif(
+    not __import__("pathlib").Path(REF_CORRECTION).is_dir(),
+    reason="reference fixtures unavailable",
+)
+class TestRealDataParity:
+    """Map the reference's real ONT reads (49-68 kb, read_correction/reads.fq)
+    against their reference contig and compare primary alignments with the
+    checked-in minimap2 results (expected.alignment_summary.txt: genome
+    start/end, strand, mapq 60 primaries). The summary's positions are for
+    the *corrected* reads; raw-read primaries must agree in strand and land
+    within a small tolerance of the same loci."""
+
+    @pytest.fixture(scope="class")
+    def expected(self):
+        rows = {}
+        with open(f"{REF_CORRECTION}/expected.alignment_summary.txt") as fh:
+            header = fh.readline().rstrip("\n").split("\t")
+            for line in fh:
+                vals = dict(zip(header, line.rstrip("\n").split("\t")))
+                rows[vals["read_id"]] = vals
+        return rows
+
+    @pytest.fixture(scope="class")
+    def primaries(self):
+        ref = _load_fastx(f"{REF_CORRECTION}/ref.fasta")
+        reads = _load_fastx(f"{REF_CORRECTION}/reads.fq")
+        index = ReferenceIndex.build(ref)
+        mapper = Mapper(index)
+        out = {}
+        for name, seq in reads:
+            alns = mapper.map(seq)
+            out[name] = alns[0] if alns else None
+        return out
+
+    def test_all_reads_map(self, primaries):
+        assert all(a is not None for a in primaries.values())
+
+    def test_position_and_strand_agreement(self, expected, primaries):
+        # the expected summary comes from the *corrected* reads, which are
+        # 20-40 kb shorter than the raw reads mapped here — so the raw
+        # primary must land on the same strand and *contain* the corrected
+        # read's interval (within tolerance at the trimmed ends)
+        agree = 0
+        for rid, exp in expected.items():
+            a = primaries.get(rid)
+            assert a is not None, rid
+            exp_rev = exp["alignment_direction"] == "-"
+            exp_start = int(exp["alignment_genome_start"])
+            exp_end = int(exp["alignment_genome_end"])
+            ok = (
+                a.is_reverse == exp_rev
+                and a.ref_start <= exp_start + 200
+                and a.ref_end >= exp_end - 200
+            )
+            if ok:
+                agree += 1
+        # VERDICT round-1 bar: >= 95% primary position agreement
+        assert agree / len(expected) >= 0.95, f"{agree}/{len(expected)}"
+
+    def test_mapq_confident(self, expected, primaries):
+        # minimap2 gives all six primaries mapq 60 (unique hits); ours must
+        # also mark them high-confidence
+        for rid in expected:
+            assert primaries[rid].mapq >= 30, rid
+
+    def test_coverage_reasonable(self, expected, primaries):
+        # the aligned query span must cover at least as much sequence as
+        # minimap2 aligned for the corrected read (the raw read contains it,
+        # plus unalignable overhang carried as soft clips)
+        for rid, a in primaries.items():
+            exp = expected[rid]
+            exp_span = int(exp["alignment_genome_end"]) - int(
+                exp["alignment_genome_start"]
+            )
+            cov = (a.q_end - a.q_start) / exp_span
+            assert cov >= 0.90, (rid, cov)

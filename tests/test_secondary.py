@@ -99,11 +99,38 @@ class TestPolishEndToEnd:
             AlignedRead(ref_start=0, cigar="250M", seq=draft[:250], is_reverse=True),
         ]  # second half has no coverage
         params = init_gru_params(jax.random.PRNGKey(1), gru_size=16, num_layers=1)
-        pipe = PolishPipeline(params, window_len=200)
+        pipe = PolishPipeline(params, window_len=200, window_overlap=0)
         out = pipe.polish_contig(draft, reads)
         # uncovered tail comes back verbatim
         assert out.endswith(draft[250:])
         assert pipe.stats.windows == 3
+
+    def test_window_seams_match_whole_contig(self):
+        """Overlapping + midpoint-trimmed windows must reproduce the
+        whole-contig (single-window) consensus exactly — the reference's
+        trim_samples guarantee (sample_trimming.cpp): every emitted column
+        is predicted with model context on both sides of the seam."""
+        rng = np.random.RandomState(7)
+        draft = "".join(rng.choice(list("ACGT"), 900))
+        reads = []
+        for i in range(8):
+            s = int(rng.randint(0, 300))
+            ln = int(rng.randint(400, 600))
+            sub = list(draft[s : s + ln])
+            for p in rng.choice(len(sub), 12, replace=False):
+                sub[p] = rng.choice([b for b in "ACGT" if b != sub[p]])
+            reads.append(
+                AlignedRead(
+                    ref_start=s, cigar=f"{len(sub)}M", seq="".join(sub),
+                    is_reverse=bool(i % 2),
+                )
+            )
+        params = init_gru_params(jax.random.PRNGKey(2), gru_size=16, num_layers=1)
+        whole = PolishPipeline(params, window_len=2000).polish_contig(draft, reads)
+        windowed_pipe = PolishPipeline(params, window_len=300, window_overlap=150)
+        windowed = windowed_pipe.polish_contig(draft, reads)
+        assert windowed_pipe.stats.windows > 3
+        assert windowed == whole
 
 
 class TestDiploidVariants:
