@@ -1151,6 +1151,9 @@ def _add_polish(sub: argparse._SubParsersAction) -> None:
                    help="Below this coverage the draft base is kept")
     p.add_argument("--qualities", action="store_true",
                    help="Emit FASTQ with per-base consensus qualities")
+    p.add_argument("--hp-tag", action="store_true",
+                   help="Source the haplotag feature column from BAM HP tags "
+                        "(default: unphased, matching the reference polish)")
     _add_common_opts(p)
     p.set_defaults(func=_run_polish)
 
@@ -1158,9 +1161,7 @@ def _add_polish(sub: argparse._SubParsersAction) -> None:
 def _run_polish(args: argparse.Namespace) -> int:
     import jax
 
-    from dorado_tpu.io.bam_reader import read_records
     from dorado_tpu.secondary.model import init_gru_params
-    from dorado_tpu.secondary.pileup import AlignedRead
     from dorado_tpu.secondary.polish import PolishPipeline
 
     forward = None
@@ -1205,34 +1206,15 @@ def _run_polish(args: argparse.Namespace) -> int:
         )
         params = init_gru_params(jax.random.PRNGKey(0))
 
-    if args.reads.endswith((".fastq", ".fq")):
-        # self-align reads to the draft with the built-in mapper
-        from dorado_tpu.alignment import Mapper, ReferenceIndex
-
-        index = ReferenceIndex.build(args.draft)
-        mapper = Mapper(index)
-        by_contig: dict[str, list[AlignedRead]] = {}
-        for rec in _read_fastq(args.reads):
-            for a in mapper.map(rec.seq):
-                from dorado_tpu.utils import reverse_complement
-
-                seq = reverse_complement(rec.seq) if a.is_reverse else rec.seq
-                by_contig.setdefault(a.ref_name, []).append(
-                    AlignedRead(a.ref_start, a.cigar, seq, a.is_reverse)
-                )
-    else:
-        _, records = read_records(args.reads)
-        by_contig = {}
-        for rec in records:
-            if rec.flag & 4 or rec.rname == "*" or rec.cigar == "*":
-                continue
-            by_contig.setdefault(rec.rname, []).append(
-                AlignedRead(rec.pos - 1, rec.cigar, rec.seq, bool(rec.flag & 16))
-            )
+    by_contig = _collect_alignments(args)
 
     pipeline = PolishPipeline(
         params, window_len=args.window_len, forward=forward,
         feature_kind=feature_kind, min_depth=args.min_depth,
+        feature_opts=_feature_opts(
+            mc if getattr(args, "model_config", None) else None,
+            hap_source=("bam" if args.hp_tag else "unphased"),
+        ),
     )
     results = pipeline.run(
         args.draft, by_contig,
@@ -1278,6 +1260,12 @@ def _add_variant(sub: argparse._SubParsersAction) -> None:
                    help="Call variants over ambiguous reference bases")
     p.add_argument("--pass-qual-filter", type=float, default=3.0,
                    help="QUAL below this is marked LowQual (variant.cpp:105)")
+    p.add_argument("--hp-tag", action="store_true",
+                   help="Take haplotags from BAM HP tags instead of computing "
+                        "local phasing (variant.cpp:492-495 BAM_HAP_TAG)")
+    p.add_argument("--unphased", action="store_true",
+                   help="Disable the haplotag feature column's phasing "
+                        "(variant.cpp:492-495 UNPHASED)")
     _add_common_opts(p)
     p.set_defaults(func=_run_variant)
 
@@ -1295,6 +1283,7 @@ def _run_variant(args: argparse.Namespace) -> int:
     if by_contig is None:
         return 1
     feature_kind = "counts"
+    mc = None
     if getattr(args, "model_config", None):
         from dorado_tpu.secondary.architectures import model_factory, parse_model_config
 
@@ -1308,6 +1297,14 @@ def _run_variant(args: argparse.Namespace) -> int:
             print("> Custom model params loading shares the polish path", file=sys.stderr)
         params = init_gru_params(jax.random.PRNGKey(0))
         fn = jax.jit(gru_forward)
+
+    # haplotag source precedence mirrors variant.cpp:492-495 (no bin-file
+    # input here): --hp-tag -> BAM HP tags, --unphased -> none, default ->
+    # local phasing computed per window
+    hap_source = (
+        "bam" if args.hp_tag else "unphased" if args.unphased else "compute"
+    )
+    feature_opts = _feature_opts(mc, hap_source=hap_source)
 
     contigs = read_fasta(args.draft)
     regions = _parse_regions(args.regions)
@@ -1335,9 +1332,13 @@ def _run_variant(args: argparse.Namespace) -> int:
             if pile.depth.max(initial=0.0) == 0:
                 continue
             if feature_kind == "read_level":
+                from dorado_tpu.secondary.polish import _matrix_kwargs
                 from dorado_tpu.secondary.read_matrix import build_read_matrix
 
-                rm = build_read_matrix(window_reads, w_start, w_end)
+                rm = build_read_matrix(
+                    window_reads, w_start, w_end,
+                    **_matrix_kwargs(feature_opts, window_reads, w_start, w_end),
+                )
                 logits = np.asarray(fn(params, rm.matrix[None]))[0]
             else:
                 logits = np.asarray(fn(params, pile.counts[None]))[0]
@@ -1365,6 +1366,11 @@ def _run_variant(args: argparse.Namespace) -> int:
 
 
 def _collect_alignments(args):
+    """reads (FASTQ self-aligned / BAM/SAM) -> {contig: [AlignedRead]} with
+    the read-level feature inputs (qual, mapq, qname, mv/HP/NM tags) the
+    secondary encoders consume (encoder_read_alignment.cpp:449-520)."""
+    import numpy as np
+
     from dorado_tpu.io.bam_reader import read_records
     from dorado_tpu.secondary.pileup import AlignedRead
 
@@ -1377,12 +1383,21 @@ def _collect_alignments(args):
         mapper = Mapper(index)
         by_contig: dict[str, list[AlignedRead]] = {}
         for rec in _read_fastq(args.reads):
+            qual = (
+                np.frombuffer(rec.qual.encode(), dtype=np.uint8).astype(np.int16) - 33
+                if rec.qual and rec.qual != "*"
+                else None
+            )
             for a in mapper.map(rec.seq):
                 if a.mapq < min_mapq:
                     continue
                 seq = reverse_complement(rec.seq) if a.is_reverse else rec.seq
+                q = qual[::-1].copy() if (a.is_reverse and qual is not None) else qual
                 by_contig.setdefault(a.ref_name, []).append(
-                    AlignedRead(a.ref_start, a.cigar, seq, a.is_reverse)
+                    AlignedRead(
+                        a.ref_start, a.cigar, seq, a.is_reverse,
+                        qual=q, mapq=a.mapq, qname=rec.qname,
+                    )
                 )
         return by_contig
     _, records = read_records(args.reads)
@@ -1392,10 +1407,43 @@ def _collect_alignments(args):
             continue
         if rec.mapq < min_mapq:
             continue
+        tags = {t.tag: t for t in rec.tags}
+        qual = (
+            np.frombuffer(rec.qual.encode(), dtype=np.uint8).astype(np.int16) - 33
+            if rec.qual and rec.qual != "*"
+            else None
+        )
+        mv = tags.get("mv")
+        hp = tags.get("HP")
+        nm = tags.get("NM")
         by_contig.setdefault(rec.rname, []).append(
-            AlignedRead(rec.pos - 1, rec.cigar, rec.seq, bool(rec.flag & 16))
+            AlignedRead(
+                rec.pos - 1, rec.cigar, rec.seq, bool(rec.flag & 16),
+                qual=qual, mapq=rec.mapq, qname=rec.qname,
+                moves=(np.asarray(mv.value, dtype=np.int64) if mv is not None else None),
+                haplotag=(int(hp.value) if hp is not None else 0),
+                nm=(int(nm.value) if nm is not None else None),
+            )
         )
     return by_contig
+
+
+def _feature_opts(mc, hap_source: str = "unphased") -> dict:
+    """Read-level encoder options from a parsed model config's
+    [feature_encoder] kwargs (encoder_factory.cpp:96-118)."""
+    kw = mc.get("feature_encoder_kwargs", {}) if mc else {}
+
+    def b(name, default=False):
+        v = kw.get(name, default)
+        return v == "true" if isinstance(v, str) else bool(v)
+
+    return {
+        "include_dwells": b("include_dwells"),
+        "include_haplotags": b("include_haplotype"),
+        "include_snp_qv": b("include_snp_qv"),
+        "hap_source": hap_source,
+        "max_reads": int(kw.get("max_reads", 100)),
+    }
 
 
 def _parse_regions(spec: str | None):

@@ -30,6 +30,13 @@ class AlignedRead:
     cigar: str
     seq: str
     is_reverse: bool
+    # optional read-level feature inputs (encoder_read_alignment.cpp):
+    qual: object = None  # np.ndarray phred per base, or None
+    mapq: int = 60
+    qname: str = ""
+    moves: object = None  # raw mv:B:c array (stride first), or None
+    haplotag: int = 0  # HP tag value (0 = untagged)
+    nm: int | None = None  # NM tag (substitution fallback for snp_qv)
 
 
 @dataclass

@@ -53,6 +53,30 @@ def _overlap_split(p1, p2) -> tuple[int, int]:
     return bisect_left(pos1, (mid, 0)), bisect_left(pos2, (mid, 0))
 
 
+def _matrix_kwargs(feature_opts: dict, window_reads, start: int, end: int) -> dict:
+    """build_read_matrix kwargs for a window: the include_* column flags
+    plus haplotags resolved per the configured source (compute -> local
+    phasing over the window, bam -> per-read HP tag, unphased -> zeros);
+    encoder_read_alignment.cpp:292-331."""
+    if not feature_opts:
+        return {}
+    hap_source = feature_opts.get("hap_source", "unphased")
+    haplotags = None
+    if feature_opts.get("include_haplotags") and hap_source == "compute":
+        from dorado_tpu.secondary.features import local_haplotags
+
+        haplotags = local_haplotags(window_reads, start, end)
+    elif hap_source == "unphased":
+        haplotags = {}  # all reads untagged, ignore HP tags
+    return {
+        "include_dwells": feature_opts.get("include_dwells", False),
+        "include_haplotags": feature_opts.get("include_haplotags", False),
+        "include_snp_qv": feature_opts.get("include_snp_qv", False),
+        "haplotags": haplotags,
+        "max_reads": feature_opts.get("max_reads", 100),
+    }
+
+
 class PolishPipeline:
     def __init__(
         self,
@@ -63,6 +87,7 @@ class PolishPipeline:
         forward=None,
         feature_kind: str = "counts",
         min_depth: int = 0,
+        feature_opts: dict | None = None,
     ):
         """feature_kind "counts" feeds the medaka counts pileup (GRUModel);
         "read_level" feeds the [P, D, 4] read matrix (LatentSpaceLSTM /
@@ -78,6 +103,9 @@ class PolishPipeline:
         self.batch_size = batch_size
         self.feature_kind = feature_kind
         self.min_depth = min_depth
+        # read-level encoder options (dwell/haplotag/snp_qv columns +
+        # haplotag source), see cli _feature_opts / encoder_factory.cpp
+        self.feature_opts = feature_opts or {}
         # provided forwards may include host-side steps (adjacency phasing),
         # so only the default counts GRU is jitted here
         self._fn = forward if forward is not None else jax.jit(gru_forward)
@@ -142,8 +170,12 @@ class PolishPipeline:
             if self.feature_kind == "read_level":
                 from dorado_tpu.secondary.read_matrix import build_read_matrix
 
-                rm = build_read_matrix(window_reads, start, end)
-                feats = rm.matrix[None, ...]  # [1, P, D, 4]
+                rm = build_read_matrix(
+                    window_reads, start, end, **_matrix_kwargs(
+                        self.feature_opts, window_reads, start, end
+                    )
+                )
+                feats = rm.matrix[None, ...]  # [1, P, D, F]
             else:
                 feats = pile.counts[None, ...]  # [1, P, 10]
             logits = np.asarray(self._fn(self.params, feats))[0]

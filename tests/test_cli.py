@@ -206,6 +206,37 @@ class TestCliSurface:
         assert r.returncode == 0, r.stderr
         assert (tmp_path / "v.vcf").read_text().startswith("##fileformat=VCFv4.1")
 
+    def test_variant_read_level_features(self, ref_and_reads, tmp_path):
+        """Read-level encoder with dwell/haplotag/snp_qv columns enabled via
+        the [feature_encoder] kwargs (encoder_factory.cpp:96-118), haplotags
+        computed by the local phasing pass (HaplotagSource::COMPUTE)."""
+        ref, reads = ref_and_reads
+        cfg = tmp_path / "config.toml"
+        cfg.write_text(
+            "[model]\n"
+            'type = "LatentSpaceLSTM"\n'
+            "[model.kwargs]\n"
+            "num_classes = 5\nlstm_size = 16\ncnn_size = 16\n"
+            'kernel_sizes = "1,17"\nuse_dwells = true\n'
+            "[feature_encoder]\n"
+            'type = "ReadAlignmentFeatureEncoder"\n'
+            "[feature_encoder.kwargs]\n"
+            'include_dwells = "true"\ninclude_haplotype = "true"\n'
+            'include_snp_qv = "true"\nmax_reads = 50\n'
+        )
+        r = run_cli(
+            "variant", str(reads), str(ref), "--model-config", str(cfg),
+            "-o", str(tmp_path / "v.vcf"), "--regions", "ctg:1-4000",
+        )
+        assert r.returncode == 0, r.stderr
+        assert "Model: LatentSpaceLSTM" in r.stderr
+        # --unphased and --hp-tag sources also drive end-to-end
+        r = run_cli(
+            "variant", str(reads), str(ref), "--model-config", str(cfg),
+            "--unphased", "-o", str(tmp_path / "v2.vcf"), "--regions", "ctg:1-4000",
+        )
+        assert r.returncode == 0, r.stderr
+
     def test_duplex_basespace(self, tmp_path):
         from dorado_tpu.io.sam import BamWriter, SamHeader, SamRecord
         from dorado_tpu.utils import reverse_complement
