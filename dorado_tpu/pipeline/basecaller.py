@@ -42,6 +42,17 @@ class PipelineStats:
     bases_called: int = 0
     batches: int = 0
     elapsed_s: float = 0.0
+    # wall time with NO batch in flight on the device while the run loop was
+    # live — the host-starvation metric (the reference tracks the analogous
+    # GPU idle via per-node thread saturation; MessageSink.h bounded queues)
+    device_idle_s: float = 0.0
+    # wall time the host spent blocked in runner.finish() waiting for the
+    # device — large values mean the device, not the host, is the bottleneck
+    finish_wait_s: float = 0.0
+
+    @property
+    def device_idle_frac(self) -> float:
+        return self.device_idle_s / self.elapsed_s if self.elapsed_s else 0.0
 
     @property
     def samples_per_s(self) -> float:
@@ -163,6 +174,8 @@ class BasecallerPipeline:
         )
         self.stats = PipelineStats()
         self._stats_lock = threading.Lock()
+        self._inflight_total = 0  # batches dispatched but not yet harvested
+        self._idle_mark: float | None = None  # when inflight last hit zero
 
         # one batching lane per configured chunk size ({T, T/2})
         self._lanes = [
@@ -186,6 +199,8 @@ class BasecallerPipeline:
             "chunks_called": rs.chunks_called,
             "reads_filtered": self.reads_filtered,
             "batch_queue_depth": sum(len(l["batch"]) for l in self._lanes),
+            "device_idle_s": round(self.stats.device_idle_s, 4),
+            "finish_wait_s": round(self.stats.finish_wait_s, 4),
         }
 
     # ------------------------------------------------------------------
@@ -371,7 +386,10 @@ class BasecallerPipeline:
                 n = len(lane["batch"])
                 if n < self.runner.batch_size:
                     lane["buffer"][n:] = 0.0
+                if self._inflight_total == 0 and self._idle_mark is not None:
+                    self.stats.device_idle_s += time.perf_counter() - self._idle_mark
                 handle = self.runner.dispatch(lane["buffer"], n)
+                self._inflight_total += 1
                 self.stats.batches += 1
                 self.stats.samples_incl_padding += lane["buffer"][..., 0].size if lane["buffer"].ndim == 3 else lane["buffer"].size
                 inflight = (handle, lane["batch"])
@@ -382,7 +400,12 @@ class BasecallerPipeline:
 
             if lane["inflight"] is not None:
                 handle, batch = lane["inflight"]
+                t_wait = time.perf_counter()
                 decoded = self.runner.finish(handle)
+                self.stats.finish_wait_s += time.perf_counter() - t_wait
+                self._inflight_total -= 1
+                if self._inflight_total == 0:
+                    self._idle_mark = time.perf_counter()
                 for (wr, ci), chunk in zip(batch, decoded):
                     wr.results[ci] = chunk
                     wr.pending -= 1
@@ -630,6 +653,8 @@ class BasecallerPipeline:
         )
 
         t0 = time.perf_counter()
+        self._idle_mark = t0  # initial fill counts as device idle
+        self._inflight_total = 0
         deadline = t0 + max_seconds if max_seconds is not None else None
         files = find_pod5_files(input_path, recursive=recursive)
         finished: list[_WorkingRead] = []

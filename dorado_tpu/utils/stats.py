@@ -93,3 +93,5 @@ class ProgressTracker:
         if stats.samples_incl_padding:
             pct = 100.0 * (1.0 - stats.samples_processed / stats.samples_incl_padding)
             p(f"> Padding percentage: {pct:.1f}%")
+        if getattr(stats, "device_idle_s", None) is not None and elapsed_s > 0:
+            p(f"> Device idle: {100.0 * stats.device_idle_s / elapsed_s:.1f}%")

@@ -58,6 +58,8 @@ def basecalled_bam(model_dir, tmp_path_factory):
     # regression_test benchmarking.py parses this exact prefix)
     assert "> Basecalled @ Samples/s:" in r.stderr
     assert "> Padding percentage:" in r.stderr
+    # host-starvation metric: fraction of wall time with no batch in flight
+    assert "> Device idle:" in r.stderr
     return out
 
 
