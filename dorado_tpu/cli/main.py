@@ -211,7 +211,11 @@ def _run_basecaller(args: argparse.Namespace) -> int:
     if getattr(args, "sample_sheet", None):
         from dorado_tpu.utils.sample_sheet import SampleSheet
 
-        sample_sheet = SampleSheet(args.sample_sheet, skip_index_matching=True)
+        # POD5 input carries per-read run info, so aliases are matched
+        # against flow_cell_id/position_id like the reference basecaller
+        # (cli_lib/basecaller.cpp:865 constructs with
+        # skip_index_matching=false; demux from BAM keeps the bare lookup)
+        sample_sheet = SampleSheet(args.sample_sheet, skip_index_matching=False)
     custom_kit_info = None
     kit_name = args.kit_name
     if getattr(args, "barcode_arrangement", None):

@@ -218,10 +218,19 @@ class BasecallerPipeline:
             }
         )
         seen: dict[str, dict] = {}
+        # per-RG sample-sheet index (flow_cell_id, position_id,
+        # experiment_id) so aliases resolve per run for multi-run sheets
+        # (bam_utils.cpp:103-112 uses the read group's own ids)
+        self._rg_sheet_index: dict[str, tuple[str, str, str]] = {}
         for f in pod5_files:
             reader = Pod5File(f)
             for ri in reader.run_infos:
                 rg_id = f"{ri.protocol_run_id}_{self.config.model_name}"
+                self._rg_sheet_index[rg_id] = (
+                    ri.flow_cell_id,
+                    ri.sequencer_position,
+                    ri.experiment_name,
+                )
                 if rg_id in seen:
                     continue
                 seen[rg_id] = {
@@ -258,10 +267,13 @@ class BasecallerPipeline:
                     or self.sample_sheet.barcode_is_permitted(barcode_name)
                 ):
                     continue
-                alias = (
-                    self.sample_sheet.get_alias(norm) if self.sample_sheet else ""
-                )
                 for rg in header.read_groups:
+                    fc, pos, exp = self._rg_sheet_index.get(rg["ID"], ("", "", ""))
+                    alias = (
+                        self.sample_sheet.get_alias(norm, fc, pos, exp)
+                        if self.sample_sheet
+                        else ""
+                    )
                     new = dict(rg)
                     suffix = alias or f"{info['name']}_{norm}"
                     new["ID"] = f"{rg['ID']}_{suffix}"
@@ -490,7 +502,7 @@ class BasecallerPipeline:
                 self._add_modbase_tags(rec, s_seq, s_moves, s_signal)
             barcode = None
             if self.barcode_classifier is not None and len(s_seq):
-                barcode = self._add_barcode_tags(rec, s_seq)
+                barcode = self._add_barcode_tags(rec, s_seq, wr.read.run_info)
             if self.poly_tail_selector is not None and len(s_seq):
                 calculator = self.poly_tail_selector.get_calculator(barcode)
                 if calculator is not None:
@@ -531,7 +543,7 @@ class BasecallerPipeline:
         )
         rec.tags.append(SamTag("pa", "B", pa, subtype="i"))
 
-    def _add_barcode_tags(self, rec, seq) -> str:
+    def _add_barcode_tags(self, rec, seq, run_info=None) -> str:
         from dorado_tpu.demux.barcoder import UNCLASSIFIED, normalize_barcode_name
 
         result = self.barcode_classifier.classify(
@@ -544,10 +556,16 @@ class BasecallerPipeline:
                 f"{self.barcode_classifier.kit_info['name']}_"
                 f"{normalize_barcode_name(result.barcode_name)}"
             )
-            # sample-sheet alias replaces the barcode id in the BC tag
-            # (BarcodeClassifierNode.cpp:131-137)
+            # sample-sheet alias replaces the barcode id in the BC tag,
+            # matched against the read's own run index so multi-run sheets
+            # resolve per flowcell/position (BarcodeClassifierNode.cpp:212-221)
             if self.sample_sheet is not None:
-                alias = self.sample_sheet.get_alias(bc)
+                alias = self.sample_sheet.get_alias(
+                    bc,
+                    run_info.flow_cell_id if run_info else "",
+                    run_info.sequencer_position if run_info else "",
+                    run_info.experiment_name if run_info else "",
+                )
                 if alias:
                     bc = alias
             # classified reads get the barcode appended to their read group

@@ -343,6 +343,55 @@ class TestCliSurface:
         assert "bk:SQK-NBD114-24" in bc_lines[0]
         assert "_NB24_barcode02" in bc_lines[0]
 
+    def test_sample_sheet_index_matching(self, model_dir, tmp_path):
+        """Basecaller sample sheets match aliases against the read's own
+        flow_cell_id/position_id (skip_index_matching=False,
+        bam_utils.cpp:103-112); a sheet row for a different flowcell must
+        NOT alias this run's read groups."""
+        def rg_lines(out):
+            from dorado_tpu.io.bam_reader import read_bam
+
+            header = read_bam(out).header_text
+            return [l for l in header.splitlines() if l.startswith("@RG")]
+
+        # fixture run info: flow_cell_id=TEST, position=test, experiment=test
+        matching = tmp_path / "match.csv"
+        matching.write_text(
+            "flow_cell_id,kit,experiment_id,barcode,alias\n"
+            "TEST,SQK-NBD114-24,test,barcode02,patient_7\n"
+        )
+        out = tmp_path / "m.bam"
+        r = run_cli(
+            "basecaller", str(model_dir), str(POD5_DIR),
+            "--decoder", "viterbi", "-b", "4", "-c", "4000",
+            "--kit-name", "SQK-NBD114-24", "--sample-sheet", str(matching),
+            "-o", str(out),
+        )
+        assert r.returncode == 0, r.stderr
+        lines = rg_lines(out)
+        # sheet restricts to its barcodes: 1 base + 1 barcode group, aliased
+        assert len(lines) == 2
+        assert any("al:patient_7" in l and "_patient_7" in l for l in lines)
+
+        other = tmp_path / "other.csv"
+        other.write_text(
+            "flow_cell_id,kit,experiment_id,barcode,alias\n"
+            "OTHERFC,SQK-NBD114-24,test,barcode02,patient_7\n"
+        )
+        out2 = tmp_path / "o.bam"
+        r = run_cli(
+            "basecaller", str(model_dir), str(POD5_DIR),
+            "--decoder", "viterbi", "-b", "4", "-c", "4000",
+            "--kit-name", "SQK-NBD114-24", "--sample-sheet", str(other),
+            "-o", str(out2),
+        )
+        assert r.returncode == 0, r.stderr
+        lines2 = rg_lines(out2)
+        # barcode still permitted (filter is index-free) but no alias applies
+        assert len(lines2) == 2
+        assert not any("al:patient_7" in l for l in lines2)
+        assert any("SM:barcode02" in l and "al:barcode02" in l for l in lines2)
+
     def test_read_ids_and_max_reads(self, model_dir, tmp_path):
         ids = tmp_path / "ids.txt"
         # one known fixture read id
