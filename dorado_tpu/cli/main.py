@@ -330,9 +330,16 @@ def _run_basecaller(args: argparse.Namespace) -> int:
     sampler = None
     stats_fh = None
     if args.dump_stats_file:
+        from dorado_tpu.utils.device_monitor import DeviceMonitor
+
         stats_fh = open(args.dump_stats_file, "w")
         sampler = StatsSampler(
-            {"basecaller": pipeline.sample_stats},
+            {
+                "basecaller": pipeline.sample_stats,
+                # HBM accounting per tick (gpu_monitor.h DeviceStatusInfo
+                # role; NVML temp/power have no TPU-runtime equivalent)
+                "device": DeviceMonitor().sample_stats,
+            },
             dump_stream=stats_fh,
             dump_filter=args.dump_stats_filter,
         )
@@ -1608,6 +1615,15 @@ def main(argv: list[str] | None = None) -> int:
     def _excepthook(exc_type, exc, tb):
         print(f"[dorado_tpu] terminating with uncaught exception: {exc}", file=sys.stderr)
         traceback.print_exception(exc_type, exc, tb)
+        # device state at crash time (gpu_monitor get_devices_status_info
+        # role in the reference's crash reports)
+        try:
+            from dorado_tpu.utils.device_monitor import describe_devices
+
+            for line in describe_devices():
+                print(f"[dorado_tpu] {line}", file=sys.stderr)
+        except Exception:
+            pass
 
     sys.excepthook = _excepthook
 
