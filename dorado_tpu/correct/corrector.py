@@ -33,7 +33,7 @@ class CorrectStats:
 class ReadCorrector:
     def __init__(self, min_depth: int = 2, min_overlap_reads: int = 2,
                  max_overlaps_per_read: int = 20, use_nn: bool = False,
-                 nn_params=None, nn_scorer=None):
+                 nn_params=None, nn_scorer=None, window_size: int = 4096):
         """use_nn enables the HERRO-style path: window feature matrices +
         NN predictions at supported positions + majority decode elsewhere
         (correct/features.py, correct/nn_model.py). The default is the
@@ -44,6 +44,7 @@ class ReadCorrector:
         self.use_nn = use_nn or nn_scorer is not None
         self.nn_params = nn_params
         self.nn_scorer = nn_scorer  # e.g. TorchScriptScorer for herro-v1
+        self.window_size = window_size  # target bases per window (4096)
         if use_nn and nn_params is None and nn_scorer is None:
             import jax
 
@@ -96,35 +97,46 @@ class ReadCorrector:
         return out
 
     def _consensus_nn(self, target: str, ovl: list[AlignedRead]) -> str:
-        """HERRO-contract path: feature window over the whole read, NN
-        inference at supported positions, reference decode_window."""
+        """HERRO-contract path: the target is cut into window_size chunks,
+        each alignment split per window by one CIGAR walk with the TOP_K
+        most accurate pieces kept, then NN inference at supported positions
+        + majority decode per window, concatenated (windows.cpp
+        extract_windows/split_alignment + CorrectionNode window loop)."""
         import numpy as np
 
-        from dorado_tpu.correct.features import (
-            WindowOverlap,
-            decode_window,
-            get_features_for_window,
-        )
+        from dorado_tpu.correct.features import decode_window, get_features_for_window
         from dorado_tpu.correct.nn_model import predict_supported
+        from dorado_tpu.correct.windows import _Aln, extract_windows
 
-        wovs = [
-            WindowOverlap(
+        alns = [
+            _Aln(
                 seq=r.seq,
                 qual=np.full(len(r.seq), 73.0, np.float32),
                 cigar=r.cigar,
                 tstart=r.ref_start,
                 fwd=not r.is_reverse,
+                qname=f"aln{i}",
             )
-            for r in ovl
+            for i, r in enumerate(ovl)
         ]
-        wf = get_features_for_window(
-            target, np.full(len(target), 73.0, np.float32), wovs, 0, len(target)
-        )
-        if self.nn_scorer is not None:
-            wf.inferred_bases = self.nn_scorer.predict(wf)
-        else:
-            wf.inferred_bases = predict_supported(self.nn_params, wf)
-        return decode_window(wf)
+        tqual = np.full(len(target), 73.0, np.float32)
+        pieces = []
+        for win_tstart, win_len, wovs in extract_windows(
+            target, alns, window_size=self.window_size
+        ):
+            if len(wovs) < 2:
+                # windows the NN cannot support keep the draft chunk
+                # (decode.cpp emits nothing for n_alns < 2; the reference
+                # read then falls back to the uncorrected sequence there)
+                pieces.append(target[win_tstart : win_tstart + win_len])
+                continue
+            wf = get_features_for_window(target, tqual, wovs, win_tstart, win_len)
+            if self.nn_scorer is not None:
+                wf.inferred_bases = self.nn_scorer.predict(wf)
+            else:
+                wf.inferred_bases = predict_supported(self.nn_params, wf)
+            pieces.append(decode_window(wf))
+        return "".join(pieces)
 
     def _consensus(self, target: str, ovl: list[AlignedRead]) -> str:
         """Pileup majority vote; target base wins below min_depth."""
