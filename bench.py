@@ -41,6 +41,9 @@ import jax.numpy as jnp
 import numpy as np
 
 A100_HAC_V43_SAMPLES_PER_S = 1728.0 / 0.0330413e-3
+# transformer sup@v5.0.0 best table entry: 0.4436 ms/chunk @ 3456 samples
+# (NVIDIA_A100_80GB_PCIe.cpp:44-48) = 7.79 Msamples/s
+A100_SUP_V50_SAMPLES_PER_S = 3456.0 / 0.4436e-3
 ITERS = 10
 
 
@@ -122,6 +125,45 @@ def measure_e2e(config, params, decoder: str, batch: int, chunk: int) -> float:
     return tput
 
 
+def measure_sup_forward(rpc: float) -> float:
+    """sup transformer forward throughput at its production geometry
+    (batch 32 x chunk 12288), chained like measure_forward."""
+    from dorado_tpu.models.presets import sup_v50_config
+    from dorado_tpu.models.tx_model import init_tx_params, make_tx_forward_fn
+
+    config = sup_v50_config()
+    params = init_tx_params(config, jax.random.PRNGKey(0), dtype=jnp.bfloat16)
+    forward = make_tx_forward_fn(config, compute_dtype=jnp.bfloat16)
+    platform = jax.devices()[0].platform
+    batch, chunk = (32, 12288) if platform == "tpu" else (2, 1536)
+    iters = 4
+
+    @partial(jax.jit, static_argnums=(2,))
+    def chained(p, sig, n):
+        def body(s, _):
+            out = forward(p, s)  # [N, T/stride, C]
+            nxt = jnp.repeat(
+                out.mean(axis=-1), config.stride, axis=1
+            )[:, : s.shape[1]].astype(s.dtype)
+            return nxt, ()
+
+        s, _ = jax.lax.scan(body, sig, None, length=n)
+        return s.mean()
+
+    sig = jax.random.normal(jax.random.PRNGKey(1), (batch, chunk), jnp.bfloat16)
+    float(chained(params, sig, iters))  # compile
+    t0 = time.perf_counter()
+    float(chained(params, sig, iters))
+    per_iter = max(1e-9, (time.perf_counter() - t0 - rpc) / iters)
+    tput = batch * chunk / per_iter
+    print(
+        f"sup forward batch {batch}: {per_iter * 1e3 / batch:.4f} ms/chunk, "
+        f"{tput / 1e6:.2f} Msamples/s",
+        file=sys.stderr,
+    )
+    return tput
+
+
 def main() -> None:
     from dorado_tpu.utils.jax_setup import enable_compilation_cache
 
@@ -151,6 +193,12 @@ def main() -> None:
     e2e_vit = measure_e2e(config, params, "viterbi", e2e_batch, e2e_chunk)
     e2e_beam = measure_e2e(config, params, "beam", e2e_batch, e2e_chunk)
 
+    sup_fwd = 0.0
+    try:
+        sup_fwd = measure_sup_forward(rpc)
+    except Exception as e:  # sup must never sink the primary metric
+        print(f"sup forward failed: {e}", file=sys.stderr)
+
     print(
         json.dumps(
             {
@@ -166,6 +214,10 @@ def main() -> None:
                     "e2e_beam_samples_per_s": round(e2e_beam, 1),
                     "e2e_beam_vs_a100_table": round(
                         e2e_beam / A100_HAC_V43_SAMPLES_PER_S, 4
+                    ),
+                    "sup_forward_samples_per_s": round(sup_fwd, 1),
+                    "sup_forward_vs_a100_sup_v5": round(
+                        sup_fwd / A100_SUP_V50_SAMPLES_PER_S, 4
                     ),
                     "baseline": "A100 hac@v4.3 fwd-only table best (52.3 Msamples/s)",
                 },
