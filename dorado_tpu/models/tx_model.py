@@ -179,20 +179,21 @@ def tx_encoder_layer(
     qkv = jnp.einsum(
         "ntc,gc->ntg", x, p["wqkv"].astype(dtype), preferred_element_type=jnp.float32
     ).astype(dtype)
-    qkv = qkv.reshape(n, t, 3, nhead, head_dim)
-    q = apply_rope(qkv[:, :, 0], cos, sin)
-    k = apply_rope(qkv[:, :, 1], cos, sin)
-    v = qkv[:, :, 2]
 
     if jax.default_backend() == "cpu" or max(win) > 128:
-        attn = windowed_attention(q, k, v, win[0], win[1])
+        qkv4 = qkv.reshape(n, t, 3, nhead, head_dim)
+        q = apply_rope(qkv4[:, :, 0], cos, sin)
+        k = apply_rope(qkv4[:, :, 1], cos, sin)
+        v = qkv4[:, :, 2]
+        attn = windowed_attention(q, k, v, win[0], win[1]).reshape(n, t, c)
     else:
-        # fused Pallas banded attention: logits/softmax never touch HBM
-        # (ops/attention.py; ~0.7 GB/layer saved at sup shapes)
-        from dorado_tpu.ops.attention import windowed_attention_fused
+        # fully fused Pallas banded attention: consumes the raw qkv
+        # projection (no reshape/slice/transpose materialisation), applies
+        # RoPE in VMEM, and the logits/softmax never touch HBM
+        # (ops/attention.py windowed_attention_qkv_rope)
+        from dorado_tpu.ops.attention import windowed_attention_qkv_rope
 
-        attn = windowed_attention_fused(q, k, v, win[0], win[1])
-    attn = attn.reshape(n, t, c)
+        attn = windowed_attention_qkv_rope(qkv, cos, sin, nhead, win[0], win[1])
     attn = (
         jnp.einsum(
             "ntc,dc->ntd",

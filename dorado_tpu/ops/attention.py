@@ -134,3 +134,150 @@ def windowed_attention_fused(
         interpret=interpret,
     )(qm, km, km, km, vm, vm, vm)
     return out[:, :, :t].transpose(0, 2, 1, 3)
+
+
+def _attn_qkv_rope_kernel(
+    qc_ref, kp_ref, kc_ref, kn_ref, vp_ref, vc_ref, vn_ref,
+    cq_ref, sq_ref, cp_ref, sp_ref, cc_ref, sc_ref, cn_ref, sn_ref,
+    o_ref,
+    *, h: int, d: int, t: int, win_upper: int, win_lower: int, ref_elems: int,
+):
+    """Banded attention on the raw [N, T, 3*H*D] qkv projection with RoPE
+    applied in VMEM. Channel layout matches wqkv row order
+    (models/tx_model.py: g = (which*H + head)*D + d_i)."""
+    s = pl.program_id(1)
+    scale = 1.0 / np.sqrt(d)
+    hd = h * d
+
+    q_global = s * BQ + jax.lax.broadcasted_iota(jnp.int32, (BQ, 3 * BQ), 0)
+    k_global = (s - 1) * BQ + jax.lax.broadcasted_iota(jnp.int32, (BQ, 3 * BQ), 1)
+    diff = k_global - q_global
+    band = (diff >= -win_upper) & (diff <= win_lower)
+    ref_qb = (q_global // ref_elems) * ref_elems
+    ref_qe = jnp.minimum(ref_qb + ref_elems, t)
+    band &= (k_global >= ref_qb - win_lower) & (k_global < ref_qe + win_upper)
+    valid = band & (k_global >= 0) & (k_global < t)
+    bias = jnp.where(valid, 0.0, -1e30)
+
+    def rope(x, c_ref, s_ref):
+        # non-interleaved halves (RotaryEmbeddingImpl::forward)
+        c = c_ref[:].astype(jnp.float32)
+        sn = s_ref[:].astype(jnp.float32)
+        e, o = x[:, : d // 2], x[:, d // 2 :]
+        return jnp.concatenate([c * e - sn * o, sn * e + c * o], axis=1)
+
+    for h_i in range(h):
+        q = qc_ref[0][:, h_i * d : (h_i + 1) * d].astype(jnp.float32)
+        q = rope(q, cq_ref, sq_ref)
+        ks = []
+        for ref, c_r, s_r in ((kp_ref, cp_ref, sp_ref),
+                              (kc_ref, cc_ref, sc_ref),
+                              (kn_ref, cn_ref, sn_ref)):
+            kk = ref[0][:, hd + h_i * d : hd + (h_i + 1) * d].astype(jnp.float32)
+            ks.append(rope(kk, c_r, s_r))
+        k = jnp.concatenate(ks, axis=0)  # [3*BQ, D]
+        v = jnp.concatenate(
+            [vp_ref[0][:, 2 * hd + h_i * d : 2 * hd + (h_i + 1) * d],
+             vc_ref[0][:, 2 * hd + h_i * d : 2 * hd + (h_i + 1) * d],
+             vn_ref[0][:, 2 * hd + h_i * d : 2 * hd + (h_i + 1) * d]],
+            axis=0,
+        ).astype(jnp.float32)
+        logits = jnp.dot(q, k.T, preferred_element_type=jnp.float32) * scale + bias
+        m = logits.max(axis=-1, keepdims=True)
+        p = jnp.exp(logits - m)
+        out = jnp.dot(p, v, preferred_element_type=jnp.float32)
+        o_ref[0, :, h_i * d : (h_i + 1) * d] = (
+            out / p.sum(axis=-1, keepdims=True)
+        ).astype(o_ref.dtype)
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("nhead", "win_upper", "win_lower", "num_splits", "interpret"),
+)
+def windowed_attention_qkv_rope(
+    qkv: jnp.ndarray,  # [N, T, 3*H*D] straight from the wqkv matmul
+    cos: jnp.ndarray,  # [T, D/2]
+    sin: jnp.ndarray,
+    nhead: int,
+    win_upper: int,
+    win_lower: int,
+    num_splits: int = 12,
+    interpret: bool | None = None,
+) -> jnp.ndarray:
+    """Fully fused attention input stage: consumes the raw qkv projection
+    (no reshape/slice/transpose materialisation), applies RoPE in VMEM,
+    computes the banded softmax-attention, and returns [N, T, H*D] in the
+    layout the output projection consumes. Band semantics identical to
+    windowed_attention_fused (incl. the 12-strip truncation)."""
+    n, t, g = qkv.shape
+    hd = g // 3
+    d = hd // nhead
+    if win_lower > BQ or win_upper > BQ:
+        raise ValueError("window <= BQ per side required")
+    ref_elems = -(-t // num_splits)
+    ref_elems += (-ref_elems) % 4
+    if interpret is None:
+        interpret = jax.default_backend() == "cpu"
+    num_strips = -(-t // BQ)
+    t_pad = num_strips * BQ
+    if t_pad != t:
+        qkv = jnp.pad(qkv, ((0, 0), (0, t_pad - t), (0, 0)))
+        cos = jnp.pad(cos, ((0, t_pad - t), (0, 0)))
+        sin = jnp.pad(sin, ((0, t_pad - t), (0, 0)))
+    cos = cos.astype(jnp.float32)
+    sin = sin.astype(jnp.float32)
+
+    def centre(b, s):
+        return (b, s, 0)
+
+    def prev(b, s):
+        return (b, jnp.maximum(s - 1, 0), 0)
+
+    def nxt(b, s):
+        return (b, jnp.minimum(s + 1, num_strips - 1), 0)
+
+    def t_centre(b, s):
+        return (s, 0)
+
+    def t_prev(b, s):
+        return (jnp.maximum(s - 1, 0), 0)
+
+    def t_nxt(b, s):
+        return (jnp.minimum(s + 1, num_strips - 1), 0)
+
+    kernel = functools.partial(
+        _attn_qkv_rope_kernel,
+        h=nhead, d=d, t=t, win_upper=win_upper, win_lower=win_lower,
+        ref_elems=ref_elems,
+    )
+    block = (1, BQ, g)
+    tblock = (BQ, d // 2)
+    out = pl.pallas_call(
+        kernel,
+        grid=(n, num_strips),
+        in_specs=[
+            pl.BlockSpec(block, centre, memory_space=pltpu.VMEM),
+            pl.BlockSpec(block, prev, memory_space=pltpu.VMEM),
+            pl.BlockSpec(block, centre, memory_space=pltpu.VMEM),
+            pl.BlockSpec(block, nxt, memory_space=pltpu.VMEM),
+            pl.BlockSpec(block, prev, memory_space=pltpu.VMEM),
+            pl.BlockSpec(block, centre, memory_space=pltpu.VMEM),
+            pl.BlockSpec(block, nxt, memory_space=pltpu.VMEM),
+            pl.BlockSpec(tblock, t_centre, memory_space=pltpu.VMEM),
+            pl.BlockSpec(tblock, t_centre, memory_space=pltpu.VMEM),
+            pl.BlockSpec(tblock, t_prev, memory_space=pltpu.VMEM),
+            pl.BlockSpec(tblock, t_prev, memory_space=pltpu.VMEM),
+            pl.BlockSpec(tblock, t_centre, memory_space=pltpu.VMEM),
+            pl.BlockSpec(tblock, t_centre, memory_space=pltpu.VMEM),
+            pl.BlockSpec(tblock, t_nxt, memory_space=pltpu.VMEM),
+            pl.BlockSpec(tblock, t_nxt, memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((1, BQ, hd), centre, memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((n, t_pad, hd), qkv.dtype),
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel", "arbitrary"),
+        ),
+        interpret=interpret,
+    )(qkv, qkv, qkv, qkv, qkv, qkv, qkv, cos, sin, cos, sin, cos, sin, cos, sin)
+    return out[:, :t]

@@ -32,3 +32,29 @@ def test_window_too_large_rejected():
     q = jnp.zeros((1, 300, 2, 64))
     with pytest.raises(ValueError):
         windowed_attention_fused(q, q, q, 300, 300)
+
+
+@pytest.mark.parametrize(
+    "n,t,h,d,wu,wl",
+    [
+        (2, 1024, 8, 64, 127, 128),  # sup production shape
+        (1, 300, 4, 64, 127, 128),  # T not a multiple of BQ
+        (1, 97, 2, 64, 30, 40),  # T < BQ
+    ],
+)
+def test_qkv_rope_fused_matches_reference_path(n, t, h, d, wu, wl):
+    """The fully fused kernel (raw qkv in, RoPE in VMEM) matches the
+    explicit rope + strip-loop reference path."""
+    from dorado_tpu.models.tx_model import apply_rope, rope_tables
+    from dorado_tpu.ops.attention import windowed_attention_qkv_rope
+
+    rng = np.random.RandomState(t + h)
+    qkv = jnp.asarray(rng.randn(n, t, 3 * h * d).astype(np.float32))
+    cos, sin = rope_tables(t, d, 10000.0)
+    q4 = qkv.reshape(n, t, 3, h, d)
+    q = apply_rope(q4[:, :, 0], cos, sin)
+    k = apply_rope(q4[:, :, 1], cos, sin)
+    v = q4[:, :, 2]
+    ref = np.asarray(windowed_attention(q, k, v, wu, wl)).reshape(n, t, h * d)
+    got = np.asarray(windowed_attention_qkv_rope(qkv, cos, sin, h, wu, wl))
+    np.testing.assert_allclose(got, ref, atol=2e-5)
