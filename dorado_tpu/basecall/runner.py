@@ -174,14 +174,22 @@ class BasecallRunner:
         if config.is_tx_model:
             from dorado_tpu.models.tx_model import tx_forward
 
-            def fwd(p, sig):
-                return tx_forward(p, sig.astype(compute_dtype), config)
+            def fwd_tm(p, sig):
+                return jnp.swapaxes(
+                    tx_forward(p, sig.astype(compute_dtype), config), 0, 1
+                )
 
         else:
 
-            def fwd(p, sig):
+            def fwd_tm(p, sig):
+                # scores come out time-major straight off the Pallas stack —
+                # no [N,T,C]<->[T,N,C] score-tensor transposes in the step
                 return lstm_crf_forward(
-                    p, sig.astype(compute_dtype), config, use_pallas=use_pallas
+                    p,
+                    sig.astype(compute_dtype),
+                    config,
+                    use_pallas=use_pallas,
+                    time_major=True,
                 )
 
         blank = float(self.options.blank_score)
@@ -310,8 +318,7 @@ class BasecallRunner:
 
         @jax.jit
         def device_viterbi(p, sig):
-            scores = fwd(p, sig)  # [N, T_out, C] f32
-            scores_tnc = jnp.swapaxes(scores, 0, 1)
+            scores_tnc = fwd_tm(p, sig)  # [T_out, N, C] f32
             alpha = fwd_scan(scores_tnc, blank)
             beta = bwd_scan(scores_tnc, blank)
             posts = jax.nn.softmax(alpha + beta, axis=-1)
@@ -330,8 +337,7 @@ class BasecallRunner:
         def device_beam(p, sig):
             """Fully on-device beam decode (ops/beam.py batched beam search)
             with byte outputs — the TPU answer to Koi's GPU beam kernels."""
-            scores = fwd(p, sig)
-            scores_tnc = jnp.swapaxes(scores, 0, 1)
+            scores_tnc = fwd_tm(p, sig)  # [T_out, N, C] f32
             alpha = fwd_scan(scores_tnc, blank)
             beta = bwd_scan(scores_tnc, blank)
             posts = jax.nn.softmax(alpha + beta, axis=-1)
@@ -345,13 +351,12 @@ class BasecallRunner:
         def device_beam_host(p, sig):
             """Host-decode variant: ships scores/back-guides/posteriors for
             the exact C++ oracle (large transfers; debugging/verification)."""
-            scores = fwd(p, sig)
-            scores_tnc = jnp.swapaxes(scores, 0, 1)
+            scores_tnc = fwd_tm(p, sig)  # [T_out, N, C] f32
             alpha = fwd_scan(scores_tnc, blank)
             beta = bwd_scan(scores_tnc, blank)
             posts = jax.nn.softmax(alpha + beta, axis=-1)
             return (
-                scores,  # [N, T_out, C]
+                jnp.swapaxes(scores_tnc, 0, 1),  # [N, T_out, C]
                 jnp.swapaxes(beta, 0, 1),  # [N, T_out+1, S] back guides
                 jnp.swapaxes(posts, 0, 1),
             )

@@ -183,9 +183,14 @@ def lstm_layer(
     return out
 
 
-def _lstm_stack_pallas(params: Params, x: jnp.ndarray, reverse_first: bool) -> jnp.ndarray:
+def _lstm_stack_pallas(
+    params: Params, x: jnp.ndarray, reverse_first: bool, keep_time_major: bool = False
+) -> jnp.ndarray:
     """Time-major fused-LSTM stack: one transpose in, one out, zero flips —
-    alternating direction is handled by the kernel's reversed grid walk."""
+    alternating direction is handled by the kernel's reversed grid walk.
+    ``keep_time_major`` skips the final transpose and returns [T, N, H] so a
+    time-major consumer (the decode scans) avoids a [N,T,C]->[T,N,C]
+    round trip of the score tensor through HBM."""
     from dorado_tpu.ops.lstm import lstm_scan_time_major
 
     dtype = x.dtype
@@ -203,7 +208,7 @@ def _lstm_stack_pallas(params: Params, x: jnp.ndarray, reverse_first: bool) -> j
             + bias
         ).astype(dtype)
         xt = lstm_scan_time_major(xproj, p["w_hh"].T.astype(dtype), reverse=reverse)
-    return jnp.swapaxes(xt, 0, 1)
+    return xt if keep_time_major else jnp.swapaxes(xt, 0, 1)
 
 
 def flstm_layer(p: Params, x: jnp.ndarray, reverse: bool) -> jnp.ndarray:
@@ -312,13 +317,23 @@ def lstm_crf_forward(
     signal: jnp.ndarray,
     config: BasecallModelConfig,
     use_pallas: bool = False,
+    time_major: bool = False,
 ) -> jnp.ndarray:
-    """[N, T] (or [N, T, F]) normalised signal -> [N, T/stride, outsize] scores."""
+    """[N, T] (or [N, T, F]) normalised signal -> [N, T/stride, outsize]
+    scores ([T/stride, N, outsize] with ``time_major`` — what the decode
+    scans consume; on the Pallas path the stack is already time-major, so
+    this removes two full score-tensor transposes from the device step)."""
     if signal.ndim == 2:
         signal = signal[..., None]
     x = conv_stack(params, signal, config)
+    is_flstm = bool(params["lstms"]) and "dn_w_ih" in params["lstms"][0]
+    if use_pallas and not is_flstm:
+        x = _lstm_stack_pallas(params, x, reverse_first=True, keep_time_major=time_major)
+        scores = linear_crf_head(params, x, config)
+        return scores
     x = lstm_stack(params, x, reverse_first=True, use_pallas=use_pallas)
-    return linear_crf_head(params, x, config)
+    scores = linear_crf_head(params, x, config)
+    return jnp.swapaxes(scores, 0, 1) if time_major else scores
 
 
 def make_crf_forward_fn(
