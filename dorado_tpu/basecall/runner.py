@@ -15,6 +15,7 @@ materialisation, and batched on-device beam search (ops/beam.py).
 
 from __future__ import annotations
 
+import functools
 import os
 from dataclasses import dataclass
 
@@ -99,6 +100,33 @@ def _qual_data_from_posts_batch(
     qual = np.repeat(wrong[..., None], 4, axis=-1)
     np.put_along_axis(qual, base[..., None], block_prob[..., None], axis=-1)
     return qual
+
+
+@functools.lru_cache(maxsize=None)
+def _qual_weight_table(num_states: int) -> np.ndarray:
+    """Constant [S, S] candidate-weight table for the per-block posterior sum.
+
+    Row s holds the weight of each posterior state for a Viterbi call in
+    state s: 1.0 for s itself plus 1.0 for every *distinct* left/right
+    k-mer shift of s that differs from s — the same candidate set and
+    dedup order as the reference qual calc (beam_search.cpp:411-470) and
+    _qual_data_from_posts_batch above, folded into a lookup so the device
+    path is one exact one-hot MXU matmul instead of 9 masked VPU passes.
+    """
+    msb = num_states >> 2
+    table = np.zeros((num_states, num_states), np.float32)
+    for s in range(num_states):
+        table[s, s] = 1.0
+        shifted = []
+        for b in range(4):
+            shifted.append((s >> 2) + msb * b)  # interleaved [l0, r0, ...]
+            shifted.append(((s << 2) % num_states) + b)
+        seen = []
+        for cand in shifted:
+            if cand != s and cand not in seen:
+                table[s, cand] += 1.0
+            seen.append(cand)
+    return table
 
 
 @dataclass
@@ -197,40 +225,30 @@ class BasecallRunner:
 
         def device_qual(states_nt, posts_nt):
             """Per-block base probabilities fully on device — the jnp
-            counterpart of _qual_data_from_posts_batch, so only [N, T, 4]
-            leaves the chip instead of full posteriors."""
+            counterpart of _qual_data_from_posts_batch.
+
+            Gather-free: TPU data-dependent lane gathers run ~1 elem/cycle
+            (take_along_axis here measured ~57 ms of the hac device step).
+            The candidate-state weight row depends only on the Viterbi state
+            value, so the whole 9-candidate dedup logic collapses into a
+            constant [S, S] table applied as an exact one-hot f32 MXU matmul
+            (each one-hot row has a single 1.0, so accumulation adds only
+            zeros). Returns (qual [N, T, 4], block_prob [N, T]) so the
+            sequence materialisation never re-gathers qual at the base.
+            """
             n, t = states_nt.shape
-            msb = num_states >> 2
             state = states_nt.astype(jnp.int32)
             base = state & 3
-            l_shift = state >> 2
-            r_shift = (state << 2) % num_states
-            shift_base = jnp.arange(4, dtype=jnp.int32)
-            shifted = jnp.stack(
-                [l_shift[..., None] + msb * shift_base, r_shift[..., None] + shift_base],
-                axis=-1,
-            ).reshape(n, t, 8)  # interleaved [l0, r0, l1, r1, ...]
 
             t_posts = posts_nt[:, 1 : t + 1]
 
-            not_self = shifted != state[..., None]
-            first = jnp.ones_like(not_self)
-            for j in range(1, 8):
-                dup = (shifted[..., :j] == shifted[..., j : j + 1]).any(axis=-1)
-                first = first.at[..., j].set(~dup)
-            count = not_self & first
-
-            # gather-free: TPU data-dependent lane gathers run ~1 elem/cycle
-            # (take_along_axis here measured ~57 ms of the hac device step).
-            # Accumulate a one-hot weight plane per candidate state instead —
-            # 9 fused compare-adds over [N, T, S] on the VPU — then reduce
-            # against the posterior plane once.
-            iota = jnp.arange(num_states, dtype=jnp.int32)
-            weights = (state[..., None] == iota).astype(jnp.float32)
-            for j in range(8):
-                weights = weights + jnp.where(
-                    (shifted[..., j, None] == iota) & count[..., j, None], 1.0, 0.0
-                )
+            # exact at default (bf16-truncating) MXU precision: table entries
+            # are small integers and each output has a single nonzero product
+            table = jnp.asarray(_qual_weight_table(num_states))  # [S, S]
+            one_hot_state = jax.nn.one_hot(state, num_states, dtype=jnp.float32)
+            weights = jax.lax.dot_general(
+                one_hot_state, table, (((2,), (0,)), ((), ()))
+            )
             block_prob = (weights * t_posts).sum(axis=-1)
 
             block_prob = jnp.clip(block_prob, 0.0, 1.0) ** 0.4
@@ -241,28 +259,31 @@ class BasecallRunner:
             )
             # bf16 halves the device->host transfer; probabilities only feed
             # the phred calc, well within bf16 precision
-            return qual.astype(jnp.bfloat16)
+            return qual.astype(jnp.bfloat16), block_prob.astype(jnp.bfloat16)
 
         q_shift = float(self.options.q_shift)
         q_scale = float(self.options.q_scale)
 
-        def device_sequence(states_nt, moves_nt, qual):
+        def device_sequence(states_nt, moves_nt, qual, block_prob):
             """Full sequence/qstring materialisation on device (the role of
             Koi's host_run_decode byte outputs, CUDADecoder.cpp:100-113):
             ASCII bases + phred chars in *emit-position layout* plus the
             bit-packed move table leave the chip; the host compacts by the
-            move mask (runner._decode). Deliberately scatter-free: TPU
-            scatter/segment-sum lowerings serialise per segment (measured
-            ~74 ms of a 148 ms hac device step), so per-base block sums are
-            computed as exclusive-cumsum differences at segment boundaries
-            with O(log T) associative scans + constant-width gathers."""
+            move mask (runner._decode). Deliberately gather- and
+            scatter-free: TPU scatter/segment-sum lowerings serialise per
+            segment, and data-dependent lane gathers run ~1 elem/cycle
+            (four take_along_axis here measured ~18 ms of the hac device
+            step), so per-base block sums come out of cumsum differences
+            broadcast to segment boundaries with *monotone* cummax/cummin
+            scans — exact, because a cumsum of non-negative values is
+            non-decreasing, so the scan picks the identical f32 value a
+            gather at the boundary index would."""
             n, t = states_nt.shape
             bases = (states_nt & 3).astype(jnp.int32)
             moves_i = moves_nt.astype(jnp.int32)
 
-            qual_f = qual.astype(jnp.float32)
-            base_prob_blk = jnp.take_along_axis(qual_f, bases[..., None], axis=2)[..., 0]
-            total_blk = qual_f.sum(axis=-1)
+            base_prob_blk = block_prob.astype(jnp.float32)
+            total_blk = qual.astype(jnp.float32).sum(axis=-1)
 
             # segment boundaries replicate the seq_pos = clip(cumsum-1, 0)
             # bucketing: a segment starts at position 0 and at every emit
@@ -270,24 +291,28 @@ class BasecallRunner:
             tidx = jnp.arange(t, dtype=jnp.int32)
             cum = jnp.cumsum(moves_i, axis=1)
             is_start = (tidx[None, :] == 0) | ((moves_i == 1) & (cum > 1))
-            start_t = jnp.where(is_start, tidx[None, :], -1)
-            prev_start = jax.lax.cummax(start_t, axis=1)  # [N, T] >= 0
-            nxt_src = jnp.where(is_start, tidx[None, :], t)
-            nxt_src = jnp.concatenate(
-                [nxt_src[:, 1:], jnp.full((n, 1), t, jnp.int32)], axis=1
+            is_end = jnp.concatenate(
+                [is_start[:, 1:], jnp.ones((n, 1), bool)], axis=1
             )
-            next_start = jnp.flip(
-                jax.lax.cummin(jnp.flip(nxt_src, axis=1), axis=1), axis=1
-            )
+            neg_inf = jnp.float32(-jnp.inf)
+            pos_inf = jnp.float32(jnp.inf)
 
             def seg_sums(vals):
-                c = jnp.cumsum(vals, axis=1)
+                c = jnp.cumsum(vals, axis=1)  # inclusive, non-decreasing
+                # exclusive prefix via a static shift (NOT c - vals, which
+                # differs from the true prefix sum by f32 rounding)
                 e = jnp.concatenate(
                     [jnp.zeros((n, 1), jnp.float32), c[:, :-1]], axis=1
                 )
-                ext = jnp.concatenate([e, c[:, -1:]], axis=1)  # ext[x]=sum(<x)
-                hi = jnp.take_along_axis(ext, next_start, axis=1)
-                lo = jnp.take_along_axis(ext, prev_start, axis=1)
+                # sum at the segment's start, broadcast forward
+                lo = jax.lax.cummax(jnp.where(is_start, e, neg_inf), axis=1)
+                # inclusive sum at the segment's end, broadcast backward
+                hi = jnp.flip(
+                    jax.lax.cummin(
+                        jnp.flip(jnp.where(is_end, c, pos_inf), axis=1), axis=1
+                    ),
+                    axis=1,
+                )
                 return hi - lo
 
             base_probs = seg_sums(base_prob_blk)
@@ -325,8 +350,8 @@ class BasecallRunner:
             states, moves = vit_path(scores_tnc, blank)
             states_nt = jnp.swapaxes(states, 0, 1)
             moves_nt = jnp.swapaxes(moves, 0, 1)
-            qual = device_qual(states_nt, jnp.swapaxes(posts, 0, 1))
-            return device_sequence(states_nt, moves_nt, qual)
+            qual, block_prob = device_qual(states_nt, jnp.swapaxes(posts, 0, 1))
+            return device_sequence(states_nt, moves_nt, qual, block_prob)
 
         beam_width = int(self.options.beam_width)
         beam_cut = float(self.options.beam_cut)
@@ -344,8 +369,8 @@ class BasecallRunner:
             states_nt, moves_nt = beam_search_device(
                 scores_tnc, beta, beam_width, beam_cut, blank
             )
-            qual = device_qual(states_nt, jnp.swapaxes(posts, 0, 1))
-            return device_sequence(states_nt, moves_nt, qual)
+            qual, block_prob = device_qual(states_nt, jnp.swapaxes(posts, 0, 1))
+            return device_sequence(states_nt, moves_nt, qual, block_prob)
 
         @jax.jit
         def device_beam_host(p, sig):
