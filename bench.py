@@ -91,38 +91,47 @@ def measure_forward(config, params, rpc: float) -> float:
     return best
 
 
-def measure_e2e(config, params, decoder: str, batch: int, chunk: int) -> float:
+def measure_e2e(config, params, decoder: str, batches, chunk: int) -> float:
     """Throughput of the real runner device step (fwd + scans + decode +
-    byte materialisation), timed over back-to-back dispatches."""
+    byte materialisation), timed over back-to-back dispatches. Sweeps the
+    batch sizes like the reference's auto-batch benchmark does — decode
+    fixed costs (traceback scan, grid setup) amortise at larger batches."""
     from dorado_tpu.basecall.runner import BasecallRunner
 
-    runner = BasecallRunner(
-        config,
-        params,
-        chunk_size=chunk,
-        batch_size=batch,
-        decoder=decoder,
-        compute_dtype=jnp.bfloat16,
-    )
-    sig = jnp.asarray(
-        np.random.RandomState(0).randn(batch, chunk).astype(np.float16)
-    )
-    reps = 3
-    out = runner._device_fn(runner.params, sig)
-    np.asarray(out[3])  # lengths [N] i32 — tiny fetch that drains the queue
-    # (block_until_ready is unreliable through the tunnelled device link)
-    t0 = time.perf_counter()
-    for _ in range(reps):
-        out = runner._device_fn(runner.params, sig)
-    np.asarray(out[3])  # device executes in order: syncs all reps
-    dt = (time.perf_counter() - t0) / reps
-    tput = batch * chunk / dt
-    print(
-        f"e2e {decoder} batch {batch} chunk {chunk}: {dt * 1e3:.1f} ms/step, "
-        f"{tput / 1e6:.2f} Msamples/s",
-        file=sys.stderr,
-    )
-    return tput
+    best = 0.0
+    for batch in batches:
+        try:
+            runner = BasecallRunner(
+                config,
+                params,
+                chunk_size=chunk,
+                batch_size=batch,
+                decoder=decoder,
+                compute_dtype=jnp.bfloat16,
+            )
+            sig = jnp.asarray(
+                np.random.RandomState(0).randn(batch, chunk).astype(np.float16)
+            )
+            reps = 3
+            out = runner._device_fn(runner.params, sig)
+            np.asarray(out[3])  # lengths [N] i32 — tiny sync fetch
+            # (block_until_ready is unreliable through the tunnelled link)
+            t0 = time.perf_counter()
+            for _ in range(reps):
+                out = runner._device_fn(runner.params, sig)
+            np.asarray(out[3])  # device executes in order: syncs all reps
+            dt = (time.perf_counter() - t0) / reps
+        except Exception as e:  # OOM at large batch: stop the sweep
+            print(f"e2e {decoder} batch {batch}: {e}", file=sys.stderr)
+            break
+        tput = batch * chunk / dt
+        print(
+            f"e2e {decoder} batch {batch} chunk {chunk}: {dt * 1e3:.1f} ms/step, "
+            f"{tput / 1e6:.2f} Msamples/s",
+            file=sys.stderr,
+        )
+        best = max(best, tput)
+    return best
 
 
 def measure_sup_forward(rpc: float) -> float:
@@ -188,10 +197,10 @@ def main() -> None:
     fwd_tput = measure_forward(config, params, rpc)
 
     platform = jax.devices()[0].platform
-    e2e_batch = 256 if platform == "tpu" else 8
+    e2e_batches = [256, 512, 1024] if platform == "tpu" else [8]
     e2e_chunk = 9996 if platform == "tpu" else 996
-    e2e_vit = measure_e2e(config, params, "viterbi", e2e_batch, e2e_chunk)
-    e2e_beam = measure_e2e(config, params, "beam", e2e_batch, e2e_chunk)
+    e2e_vit = measure_e2e(config, params, "viterbi", e2e_batches, e2e_chunk)
+    e2e_beam = measure_e2e(config, params, "beam", e2e_batches[:2], e2e_chunk)
 
     sup_fwd = 0.0
     try:

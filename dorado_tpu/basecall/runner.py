@@ -60,6 +60,20 @@ def _decode_scan_fns(num_transitions: int):
     return forward_scores, backward_scores, viterbi_path
 
 
+def _use_fused_decode(num_transitions: int) -> bool:
+    """The viterbi fast path can run alpha/posts/choices in one fused Pallas
+    pass over the score stream (crf_pallas.fused_forward_decode_pallas) for
+    dense-lattice spaces on real TPUs."""
+    from dorado_tpu.ops.crf_pallas import supports_fused_decode
+
+    enabled = os.environ.get("DORADO_TPU_PALLAS_DECODE", "1") != "0"
+    return (
+        enabled
+        and jax.default_backend() == "tpu"
+        and supports_fused_decode(num_transitions)
+    )
+
+
 def _qual_data_from_posts_batch(
     states: np.ndarray, posts: np.ndarray, num_states: int
 ) -> np.ndarray:
@@ -223,7 +237,7 @@ class BasecallRunner:
         blank = float(self.options.blank_score)
         num_states = config.num_states
 
-        def device_qual(states_nt, posts_nt):
+        def device_qual(states_nt, t_posts):
             """Per-block base probabilities fully on device — the jnp
             counterpart of _qual_data_from_posts_batch.
 
@@ -235,12 +249,11 @@ class BasecallRunner:
             (each one-hot row has a single 1.0, so accumulation adds only
             zeros). Returns (qual [N, T, 4], block_prob [N, T]) so the
             sequence materialisation never re-gathers qual at the base.
+            t_posts: [N, T, S] posterior rows 1..T of the [T+1] history.
             """
             n, t = states_nt.shape
             state = states_nt.astype(jnp.int32)
             base = state & 3
-
-            t_posts = posts_nt[:, 1 : t + 1]
 
             # exact at default (bf16-truncating) MXU precision: table entries
             # are small integers and each output has a single nonzero product
@@ -340,17 +353,35 @@ class BasecallRunner:
             return seq_chars, qchar, mv_packed, lengths
 
         fwd_scan, bwd_scan, vit_path = _decode_scan_fns(num_states * 4)
+        use_fused = _use_fused_decode(num_states * 4)
 
         @jax.jit
         def device_viterbi(p, sig):
             scores_tnc = fwd_tm(p, sig)  # [T_out, N, C] f32
-            alpha = fwd_scan(scores_tnc, blank)
-            beta = bwd_scan(scores_tnc, blank)
-            posts = jax.nn.softmax(alpha + beta, axis=-1)
-            states, moves = vit_path(scores_tnc, blank)
+            if use_fused:
+                # one fused pass over the score stream does the alpha LSE
+                # recursion, the posterior rows, and the Viterbi choices —
+                # the separate kernels each re-stream the full score tensor
+                from dorado_tpu.ops.crf_pallas import fused_forward_decode_pallas
+                from dorado_tpu.ops.crf_scan import viterbi_traceback
+
+                beta = bwd_scan(scores_tnc, blank)
+                t_posts, choices, final = fused_forward_decode_pallas(
+                    scores_tnc, beta, blank
+                )
+                last_state = jnp.argmax(final, axis=-1).astype(jnp.int32)
+                states, moves = viterbi_traceback(choices, last_state)
+                t_posts_nt = jnp.swapaxes(t_posts, 0, 1)
+            else:
+                alpha = fwd_scan(scores_tnc, blank)
+                beta = bwd_scan(scores_tnc, blank)
+                posts = jax.nn.softmax(alpha + beta, axis=-1)
+                states, moves = vit_path(scores_tnc, blank)
+                t = scores_tnc.shape[0]
+                t_posts_nt = jnp.swapaxes(posts, 0, 1)[:, 1 : t + 1]
             states_nt = jnp.swapaxes(states, 0, 1)
             moves_nt = jnp.swapaxes(moves, 0, 1)
-            qual, block_prob = device_qual(states_nt, jnp.swapaxes(posts, 0, 1))
+            qual, block_prob = device_qual(states_nt, t_posts_nt)
             return device_sequence(states_nt, moves_nt, qual, block_prob)
 
         beam_width = int(self.options.beam_width)
@@ -369,7 +400,9 @@ class BasecallRunner:
             states_nt, moves_nt = beam_search_device(
                 scores_tnc, beta, beam_width, beam_cut, blank
             )
-            qual, block_prob = device_qual(states_nt, jnp.swapaxes(posts, 0, 1))
+            t = scores_tnc.shape[0]
+            t_posts_nt = jnp.swapaxes(posts, 0, 1)[:, 1 : t + 1]
+            qual, block_prob = device_qual(states_nt, t_posts_nt)
             return device_sequence(states_nt, moves_nt, qual, block_prob)
 
         @jax.jit

@@ -499,6 +499,155 @@ def _viterbi_fwd_pallas_blk(scores_tnc, stay_score: float, interpret: bool):
     return f(blk, jnp.asarray(r4, jnp.bfloat16))
 
 
+def _fused_fwd_kernel(
+    sc_ref,
+    beta_ref,
+    p_ref,
+    g_ref,
+    gs_ref,
+    posts_ref,
+    choices_ref,
+    final_ref,
+    acarry_ref,
+    vcarry_ref,
+    *,
+    bt,
+    stay_factor,
+    stay_score,
+):
+    """One pass over the score stream doing all three forward-direction jobs:
+    the alpha LSE recursion, the posterior softmax rows (consuming the
+    pre-shifted beta stream), and the Viterbi max-plus choices. Sharing the
+    [bt, bn, C] block DMA is the point — the separate kernels each re-stream
+    the full 1.7 GB score tensor at hac batch 256."""
+    t_idx = pl.program_id(1)
+
+    @pl.when(t_idx == 0)
+    def _():
+        acarry_ref[:] = jnp.zeros_like(acarry_ref)
+        vcarry_ref[:] = jnp.zeros_like(vcarry_ref)
+
+    ac = acarry_ref[:]
+    vc = vcarry_ref[:]
+    for i in range(bt):
+        sc = sc_ref[i]
+        # alpha LSE step (identical numerics to _lse_kernel)
+        m = jnp.max(ac, axis=-1, keepdims=True)
+        ec = jnp.exp(ac - m)
+        ecp = _dot2(ec, p_ref[:])
+        prod = ecp * jnp.exp(sc)
+        red = _dot2(prod, g_ref[:])
+        ac = m + jnp.log(red + ec * stay_factor)
+        # posterior row t+1: softmax(alpha_after + beta_full[t+1])
+        pb = ac + beta_ref[i]
+        pm = jnp.max(pb, axis=-1, keepdims=True)
+        pe = jnp.exp(pb - pm)
+        posts_ref[i] = pe / jnp.sum(pe, axis=-1, keepdims=True)
+        # Viterbi max-plus step (identical numerics to _viterbi_kernel)
+        vc = vc - jnp.max(vc, axis=-1, keepdims=True)
+        avp = _dot2(vc, p_ref[:])
+        stepped = avp + sc
+        red4 = [_dot2(stepped, gs_ref[r]) for r in range(4)]
+        best = jnp.maximum(
+            jnp.maximum(red4[0], red4[1]), jnp.maximum(red4[2], red4[3])
+        )
+        best_r = jnp.where(
+            jnp.maximum(red4[0], red4[1]) >= jnp.maximum(red4[2], red4[3]),
+            jnp.where(red4[0] >= red4[1], 0, 1),
+            jnp.where(red4[2] >= red4[3], 2, 3),
+        )
+        stay = vc + stay_score
+        is_stay = stay >= best
+        vc = jnp.where(is_stay, stay, best)
+        choices_ref[i] = jnp.where(is_stay, 4, best_r).astype(jnp.int8)
+    acarry_ref[:] = ac
+    vcarry_ref[:] = vc
+    final_ref[:] = vc  # only the last time tile's write survives
+
+
+@functools.partial(jax.jit, static_argnames=("stay_score", "interpret"))
+def fused_forward_decode_pallas(
+    scores_tnc, beta_full, stay_score: float, interpret: bool = False
+):
+    """(posts rows 1..T [T, N, S], choices [T, N, S] i8, final [N, S]).
+
+    posts[t-1] == softmax(alpha_full[t] + beta_full[t]) for t in 1..T — the
+    rows device_qual consumes (row 0 of the [T+1] posterior history is never
+    used). choices/final match _viterbi_fwd_pallas exactly. Dense-lattice
+    spaces only (hac/fast); sup routes through the block-layout kernels.
+    """
+    t_len, n, c = scores_tnc.shape
+    s = c // 4
+    bn = _pick_bn(n)
+    # fused blocks are wider (scores in + beta in + posts/choices out)
+    per_t = bn * (c * 4 * 2 + s * 4 * 2 + s * 4 * 2 + s * 2)
+    bt = 1
+    for cand in range(1, t_len + 1):
+        if t_len % cand:
+            continue
+        if cand * per_t > _VMEM_BUDGET:
+            break
+        bt = cand
+    n_tiles, t_tiles = n // bn, t_len // bt
+    stay_factor = float(np.exp(stay_score))
+
+    p_mat, g_mat = _lattice_matrices(s, False)
+    gs = _select_matrices(s)
+    kernel = functools.partial(
+        _fused_fwd_kernel,
+        bt=bt,
+        stay_factor=stay_factor,
+        stay_score=float(stay_score),
+    )
+    t_map = lambda b, t: (t, b, 0)  # noqa: E731
+
+    beta_shift = beta_full[1:]  # row i == beta_full[i+1]
+    f = pl.pallas_call(
+        kernel,
+        grid=(n_tiles, t_tiles),
+        in_specs=[
+            pl.BlockSpec((bt, bn, c), t_map, memory_space=pltpu.VMEM),
+            pl.BlockSpec((bt, bn, s), t_map, memory_space=pltpu.VMEM),
+            pl.BlockSpec((s, c), lambda b, t: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((c, s), lambda b, t: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((4, c, s), lambda b, t: (0, 0, 0), memory_space=pltpu.VMEM),
+        ],
+        out_specs=[
+            pl.BlockSpec((bt, bn, s), t_map, memory_space=pltpu.VMEM),
+            pl.BlockSpec((bt, bn, s), t_map, memory_space=pltpu.VMEM),
+            pl.BlockSpec((bn, s), lambda b, t: (b, 0), memory_space=pltpu.VMEM),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((t_len, n, s), jnp.float32),
+            jax.ShapeDtypeStruct((t_len, n, s), jnp.int8),
+            jax.ShapeDtypeStruct((n, s), jnp.float32),
+        ],
+        scratch_shapes=[
+            pltpu.VMEM((bn, s), jnp.float32),
+            pltpu.VMEM((bn, s), jnp.float32),
+        ],
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("arbitrary", "arbitrary")
+        ),
+        interpret=interpret,
+    )
+    posts, choices, final = f(
+        scores_tnc.astype(jnp.float32),
+        beta_shift.astype(jnp.float32),
+        jnp.asarray(p_mat, jnp.bfloat16),
+        jnp.asarray(g_mat, jnp.bfloat16),
+        jnp.asarray(gs, jnp.bfloat16),
+    )
+    return posts, choices, final
+
+
+def supports_fused_decode(num_transitions: int) -> bool:
+    """The fused forward kernel keeps the dense [S, C] lattice matrices and
+    the 4 selection matrices resident — dense-lattice spaces only."""
+    s = num_transitions // 4
+    return 2 * s * num_transitions * 4 <= 4 * 1024 * 1024
+
+
 def use_pallas_decode() -> bool:
     return jax.default_backend() == "tpu"
 

@@ -87,3 +87,28 @@ class TestBlockLayout:
         )
         np.testing.assert_array_equal(st_p, st_ref)
         np.testing.assert_array_equal(mv_p, mv_ref)
+
+
+def test_fused_forward_decode_matches_separate():
+    """The fused alpha/posts/choices kernel must match the separate kernels:
+    posts vs softmax(alpha+beta) and choices/final vs the Viterbi kernel."""
+    from dorado_tpu.ops.crf_pallas import (
+        _viterbi_fwd_pallas,
+        fused_forward_decode_pallas,
+        supports_fused_decode,
+    )
+
+    assert supports_fused_decode(1024) and not supports_fused_decode(4096)
+    scores = _scores(12, 4, 1024, seed=5)
+    alpha = forward_scores(scores, 2.0)
+    beta = backward_scores(scores, 2.0)
+    posts_ref = np.asarray(jax.nn.softmax(alpha + beta, axis=-1))[1:]
+    ch_ref, fin_ref = _viterbi_fwd_pallas(scores, 2.0, True)
+    posts, choices, final = fused_forward_decode_pallas(
+        scores, beta, 2.0, interpret=True
+    )
+    assert np.abs(np.asarray(posts) - posts_ref).max() < 1e-3
+    np.testing.assert_array_equal(np.asarray(choices), np.asarray(ch_ref))
+    np.testing.assert_allclose(
+        np.asarray(final), np.asarray(fin_ref), rtol=1e-5, atol=1e-5
+    )
