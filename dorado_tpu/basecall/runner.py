@@ -175,13 +175,27 @@ class BasecallRunner:
         self.chunk_size = int(chunk_size or config.basecaller.chunk_size)
         granularity = config.chunk_size_granularity
         self.chunk_size -= self.chunk_size % granularity
-        # two chunk lengths {T, T/2} like the reference (CudaCaller.cpp:391-415):
-        # short reads route to the half-size program, cutting padding waste
-        half = (self.chunk_size // 2) - ((self.chunk_size // 2) % granularity)
+        # A geometric ladder of chunk lengths {T, T/2, T/4, ...}: short reads
+        # route to the smallest program that holds them, cutting padding
+        # waste. This generalises the reference's {T, T/2} dual-batch-dims
+        # (CudaCaller.cpp:391-415) and is the TPU-native answer to its ragged
+        # variable-chunk-size packing (nn/AuxiliaryData.cpp:19-40): XLA needs
+        # static shapes, and packing unequal segments per row would put a
+        # traced reset on every timestep of every scan kernel, so raggedness
+        # is bucketed into lanes instead. Each lane's batch is scaled
+        # inversely to its length, keeping samples/dispatch constant.
+        # DORADO_TPU_CHUNK_LANES overrides the lane count (compile time is
+        # per-lane, so tests and CPU runs default to the reference's 2).
         overlap = config.basecaller.overlap
+        default_lanes = 4 if jax.default_backend() == "tpu" else 2
+        max_lanes = int(os.environ.get("DORADO_TPU_CHUNK_LANES", default_lanes))
         self.chunk_sizes = [self.chunk_size]
-        if half > overlap and half >= granularity:
-            self.chunk_sizes.append(half)
+        while len(self.chunk_sizes) < max_lanes:
+            nxt = self.chunk_sizes[-1] // 2
+            nxt -= nxt % granularity
+            if nxt <= overlap or nxt < granularity:
+                break
+            self.chunk_sizes.append(nxt)
         self.batch_size = int(batch_size or config.basecaller.batch_size or 128)
         self.decoder = decoder
         self.options = DecoderOptions(
@@ -447,15 +461,26 @@ class BasecallRunner:
                 return i
         return 0
 
+    def lane_batch_size(self, lane: int = 0) -> int:
+        """Batch rows for a lane, scaled inversely to its chunk length so
+        every lane dispatches roughly the same samples (and HBM) per batch."""
+        scale = max(1, self.chunk_size // self.chunk_sizes[lane])
+        n = min(self.batch_size * scale, 2048)
+        if self.mesh is not None:
+            n_data = self.mesh.shape["data"]
+            n = -(-n // n_data) * n_data
+        return n
+
     def make_input_buffer(self, lane: int = 0) -> np.ndarray:
         # float16 halves the host->device transfer; the reference feeds f16
         # signal too (ScalerNode.cpp:227-229)
         size = self.chunk_sizes[lane]
+        rows = self.lane_batch_size(lane)
         if self.config.num_features > 1:
             return np.zeros(
-                (self.batch_size, size, self.config.num_features), dtype=np.float16
+                (rows, size, self.config.num_features), dtype=np.float16
             )
-        return np.zeros((self.batch_size, size), dtype=np.float16)
+        return np.zeros((rows, size), dtype=np.float16)
 
     def accept_chunk(self, buffer: np.ndarray, idx: int, signal: np.ndarray) -> None:
         """Copy one (possibly short) chunk into the batch, repeat-padding to

@@ -385,7 +385,7 @@ class BasecallerPipeline:
             idx = len(lane["batch"])
             self.runner.accept_chunk(lane["buffer"], idx, wr.scaled[off : off + size])
             lane["batch"].append((wr, ci))
-            if len(lane["batch"]) == self.runner.batch_size:
+            if len(lane["batch"]) == lane["buffer"].shape[0]:
                 flush_cb()
 
     def _flush_batch(self, finished: list[_WorkingRead], force: bool = False) -> None:
@@ -394,9 +394,10 @@ class BasecallerPipeline:
         the host decodes batch k (the stream-overlap of CudaCaller.cpp:634
         re-expressed with JAX async dispatch)."""
         for lane in self._lanes:
-            if lane["batch"] and (force or len(lane["batch"]) == self.runner.batch_size):
+            rows = lane["buffer"].shape[0]
+            if lane["batch"] and (force or len(lane["batch"]) == rows):
                 n = len(lane["batch"])
-                if n < self.runner.batch_size:
+                if n < rows:
                     lane["buffer"][n:] = 0.0
                 if self._inflight_total == 0 and self._idle_mark is not None:
                     self.stats.device_idle_s += time.perf_counter() - self._idle_mark

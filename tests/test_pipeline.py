@@ -217,3 +217,41 @@ class TestPipeline:
         stats = pipeline.run(POD5_DIR, NullWriter())
         assert stats.samples_incl_padding >= stats.samples_processed
         assert stats.batches >= 1
+
+
+def test_chunk_lane_ladder(monkeypatch):
+    """DORADO_TPU_CHUNK_LANES extends the {T, T/2} routing to a geometric
+    ladder with per-lane batch scaling (the TPU-native stand-in for the
+    reference's ragged VCS packing, nn/AuxiliaryData.cpp:19-40)."""
+    import jax
+    import numpy as np
+
+    from dorado_tpu.basecall.runner import BasecallRunner
+    from dorado_tpu.models.crf_model import init_lstm_crf_params
+    from dorado_tpu.models.presets import fast_v40_config
+
+    monkeypatch.setenv("DORADO_TPU_CHUNK_LANES", "4")
+    cfg = fast_v40_config()
+    params = init_lstm_crf_params(cfg, jax.random.PRNGKey(0))
+    runner = BasecallRunner(
+        cfg, params, chunk_size=8000, batch_size=4, decoder="viterbi"
+    )
+    assert runner.chunk_sizes == [8000, 4000, 2000, 1000]
+    # short chunks route to the smallest lane that holds them
+    assert runner.lane_for(8000) == 0
+    assert runner.lane_for(4001) == 0
+    assert runner.lane_for(2500) == 1
+    assert runner.lane_for(900) == 3
+    # per-lane batch scales inversely with chunk length (constant samples);
+    # base batch is mesh-rounded (4 -> 8 on the virtual 8-device mesh)
+    base = runner.batch_size
+    assert [runner.lane_batch_size(i) for i in range(4)] == [
+        base, 2 * base, 4 * base, 8 * base
+    ]
+    assert runner.make_input_buffer(3).shape == (8 * base, 1000)
+    # a short chunk decodes identically through its lane program
+    sig = np.random.RandomState(0).randn(900).astype(np.float32)
+    buf = runner.make_input_buffer(3)
+    runner.accept_chunk(buf, 0, sig)
+    decoded = runner.call_chunks(buf, 1)
+    assert len(decoded) == 1 and len(decoded[0].moves) == 1000 // cfg.stride
