@@ -175,25 +175,26 @@ class BasecallRunner:
         self.chunk_size = int(chunk_size or config.basecaller.chunk_size)
         granularity = config.chunk_size_granularity
         self.chunk_size -= self.chunk_size % granularity
-        # A geometric ladder of chunk lengths {T, T/2, T/4, ...}: short reads
-        # route to the smallest program that holds them, cutting padding
-        # waste. This generalises the reference's {T, T/2} dual-batch-dims
-        # (CudaCaller.cpp:391-415) and is the TPU-native answer to its ragged
-        # variable-chunk-size packing (nn/AuxiliaryData.cpp:19-40): XLA needs
-        # static shapes, and packing unequal segments per row would put a
-        # traced reset on every timestep of every scan kernel, so raggedness
-        # is bucketed into lanes instead. Each lane's batch is scaled
-        # inversely to its length, keeping samples/dispatch constant.
-        # DORADO_TPU_CHUNK_LANES overrides the lane count (compile time is
-        # per-lane, so tests and CPU runs default to the reference's 2).
+        # A geometric ladder of chunk lengths {T, 3T/4, (3/4)^2 T, ...}:
+        # short reads route to the smallest program that holds them, bounding
+        # padding waste at 25% per chunk. This generalises the reference's
+        # {T, T/2} dual-batch-dims (CudaCaller.cpp:391-415) and is the
+        # TPU-native answer to its ragged variable-chunk-size packing
+        # (nn/AuxiliaryData.cpp:19-40): XLA needs static shapes, and packing
+        # unequal segments per row would put a traced reset on every timestep
+        # of every scan kernel, so raggedness is bucketed into lanes instead.
+        # Each lane's batch is scaled inversely to its length, keeping
+        # samples/dispatch constant. DORADO_TPU_CHUNK_LANES overrides the
+        # lane count (compile time is per-lane, so tests and CPU runs default
+        # to the reference's 2).
         overlap = config.basecaller.overlap
-        default_lanes = 4 if jax.default_backend() == "tpu" else 2
+        default_lanes = 6 if jax.default_backend() == "tpu" else 2
         max_lanes = int(os.environ.get("DORADO_TPU_CHUNK_LANES", default_lanes))
         self.chunk_sizes = [self.chunk_size]
         while len(self.chunk_sizes) < max_lanes:
-            nxt = self.chunk_sizes[-1] // 2
+            nxt = self.chunk_sizes[-1] * 3 // 4
             nxt -= nxt % granularity
-            if nxt <= overlap or nxt < granularity:
+            if nxt <= overlap or nxt < granularity or nxt == self.chunk_sizes[-1]:
                 break
             self.chunk_sizes.append(nxt)
         self.batch_size = int(batch_size or config.basecaller.batch_size or 128)
@@ -463,9 +464,12 @@ class BasecallRunner:
 
     def lane_batch_size(self, lane: int = 0) -> int:
         """Batch rows for a lane, scaled inversely to its chunk length so
-        every lane dispatches roughly the same samples (and HBM) per batch."""
-        scale = max(1, self.chunk_size // self.chunk_sizes[lane])
-        n = min(self.batch_size * scale, 2048)
+        every lane dispatches roughly the same samples (and HBM) per batch.
+        Rounded up to a Pallas-friendly granule (128 when the base batch is,
+        else the base batch) so the kernels keep full-width batch tiles."""
+        raw = self.batch_size * self.chunk_size / self.chunk_sizes[lane]
+        g = 128 if self.batch_size % 128 == 0 else self.batch_size
+        n = min(-(-int(raw) // g) * g, 2048)
         if self.mesh is not None:
             n_data = self.mesh.shape["data"]
             n = -(-n // n_data) * n_data

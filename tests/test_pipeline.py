@@ -236,22 +236,25 @@ def test_chunk_lane_ladder(monkeypatch):
     runner = BasecallRunner(
         cfg, params, chunk_size=8000, batch_size=4, decoder="viterbi"
     )
-    assert runner.chunk_sizes == [8000, 4000, 2000, 1000]
+    # ratio-3/4 ladder, granularity-aligned (fast stride 5)
+    assert runner.chunk_sizes == [8000, 6000, 4500, 3375]
     # short chunks route to the smallest lane that holds them
     assert runner.lane_for(8000) == 0
-    assert runner.lane_for(4001) == 0
-    assert runner.lane_for(2500) == 1
-    assert runner.lane_for(900) == 3
-    # per-lane batch scales inversely with chunk length (constant samples);
-    # base batch is mesh-rounded (4 -> 8 on the virtual 8-device mesh)
+    assert runner.lane_for(6001) == 0
+    assert runner.lane_for(5000) == 1
+    assert runner.lane_for(3000) == 3
+    # per-lane batch scales inversely with chunk length (constant samples),
+    # rounded up to the base-batch granule; base is mesh-rounded (4 -> 8 on
+    # the virtual 8-device mesh)
     base = runner.batch_size
-    assert [runner.lane_batch_size(i) for i in range(4)] == [
-        base, 2 * base, 4 * base, 8 * base
-    ]
-    assert runner.make_input_buffer(3).shape == (8 * base, 1000)
+    sizes = [runner.lane_batch_size(i) for i in range(4)]
+    assert sizes[0] == base
+    for i in range(1, 4):
+        want = base * 8000 / runner.chunk_sizes[i]
+        assert sizes[i] % base == 0 and 0 <= sizes[i] - want < base
     # a short chunk decodes identically through its lane program
-    sig = np.random.RandomState(0).randn(900).astype(np.float32)
+    sig = np.random.RandomState(0).randn(3000).astype(np.float32)
     buf = runner.make_input_buffer(3)
     runner.accept_chunk(buf, 0, sig)
     decoded = runner.call_chunks(buf, 1)
-    assert len(decoded) == 1 and len(decoded[0].moves) == 1000 // cfg.stride
+    assert len(decoded) == 1 and len(decoded[0].moves) == 3375 // cfg.stride
