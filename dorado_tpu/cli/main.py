@@ -1185,6 +1185,20 @@ def _run_polish(args: argparse.Namespace) -> int:
         if mc["model_type"] != "GRUModel":
             feature_kind = "read_level"
         print(f"> Model: {mc['model_type']}", file=sys.stderr)
+    elif args.model_params and (
+        str(args.model_params).endswith(".pt")
+        or (Path(args.model_params) / "model.pt").exists()
+    ):
+        # TorchScript blob (reference: model_factory.cpp:186-201 loads
+        # model.pt as an opaque torch::jit module via ModelTorchScript)
+        from dorado_tpu.secondary.model import TorchScriptConsensusModel
+
+        ts_path = Path(args.model_params)
+        if ts_path.is_dir():
+            ts_path = ts_path / "model.pt"
+        forward = TorchScriptConsensusModel(ts_path)
+        params = None
+        print(f"> Model: TorchScript ({ts_path})", file=sys.stderr)
     elif args.model_params:
         from dorado_tpu.io.tensor_file import load_tensor
         from pathlib import Path as P
@@ -1303,6 +1317,18 @@ def _run_variant(args: argparse.Namespace) -> int:
         if mc["model_type"] != "GRUModel":
             feature_kind = "read_level"
         print(f"> Model: {mc['model_type']}", file=sys.stderr)
+    elif args.model_params and (
+        str(args.model_params).endswith(".pt")
+        or (Path(args.model_params) / "model.pt").exists()
+    ):
+        from dorado_tpu.secondary.model import TorchScriptConsensusModel
+
+        ts_path = Path(args.model_params)
+        if ts_path.is_dir():
+            ts_path = ts_path / "model.pt"
+        fn = TorchScriptConsensusModel(ts_path)
+        params = None
+        print(f"> Model: TorchScript ({ts_path})", file=sys.stderr)
     else:
         if args.model_params:
             print("> Custom model params loading shares the polish path", file=sys.stderr)

@@ -113,3 +113,32 @@ def decode_consensus(
         if c != 0:
             out.append(SYMBOLS[c])
     return "".join(out)
+
+
+class TorchScriptConsensusModel:
+    """Executes an ONT-shipped TorchScript polish/variant model on host
+    torch (CPU eval mode).
+
+    Parity: dorado/secondary/architectures/model_torch_script.h — the
+    reference loads ``model.pt`` as an opaque ``torch::jit`` module when the
+    model config names it (model_factory.cpp:186-201); its native
+    architectures load ``weights.pt`` state dicts instead. Our jax model zoo
+    covers the weights path; this covers the opaque-blob path so any ONT
+    polish model drops in. The call contract matches gru_forward:
+    [N, T, num_features] -> [N, T, num_classes] scores (the `params`
+    argument of the pipeline's forward fn is ignored).
+    """
+
+    def __init__(self, model_path):
+        import torch
+
+        self.module = torch.jit.load(str(model_path), map_location="cpu")
+        self.module.eval()
+
+    def __call__(self, params, feats):
+        import numpy as np
+        import torch
+
+        with torch.no_grad():
+            out = self.module(torch.from_numpy(np.asarray(feats, np.float32)))
+        return np.asarray(out)

@@ -540,3 +540,30 @@ class TestCliSurface:
         assert len(ref_records) > 1
         assert all(f[6] == "." for f in ref_records)
         assert all(f[9].startswith("0:") for f in ref_records)
+
+    def test_polish_torchscript_model(self, ref_and_reads, tmp_path):
+        """--model-params pointing at a TorchScript blob loads it as an
+        opaque torch::jit module (model_factory.cpp:186-201 model.pt path)."""
+        import torch
+
+        class TinyConsensus(torch.nn.Module):
+            def __init__(self):
+                super().__init__()
+                self.linear = torch.nn.Linear(10, 5)
+
+            def forward(self, x):
+                return self.linear(x)
+
+        mdir = tmp_path / "tsmodel"
+        mdir.mkdir()
+        torch.jit.script(TinyConsensus()).save(str(mdir / "model.pt"))
+
+        ref, reads = ref_and_reads
+        r = run_cli(
+            "polish", str(reads), str(ref), "-o", str(tmp_path / "pt.fasta"),
+            "--model-params", str(mdir), "--window-len", "8000",
+        )
+        assert r.returncode == 0, r.stderr
+        assert "TorchScript" in r.stderr
+        assert "Polished 1 contig(s)" in r.stderr
+        assert (tmp_path / "pt.fasta").read_text().startswith(">")
