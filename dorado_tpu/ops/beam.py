@@ -83,6 +83,22 @@ def _lse(x, y):
     return jnp.maximum(x, y) + jnp.where(d < 17.0, jnp.log1p(jnp.exp(-d)), 0.0)
 
 
+def _oh_lookup(spec, oh, vals):
+    """BIT-exact one-hot lookup einsum in three bf16 MXU passes (vs 6 for
+    HIGHEST precision).
+
+    vals = a + b + c with each part an 8-mantissa-bit slice (a = bf16(vals),
+    b = bf16(vals - a), c the exact f32 remainder, itself bf16-representable
+    since 24 = 8+8+8). Each product against a one-hot 1.0 is exact, and the
+    accumulation (a + b) + c re-assembles the original f32 bit-exactly:
+    a + b carries <= 16 significant bits, + c restores all 24."""
+    a = vals.astype(jnp.bfloat16).astype(jnp.float32)
+    r = vals - a
+    b = r.astype(jnp.bfloat16).astype(jnp.float32)
+    c = r - b
+    return jnp.einsum(spec, oh, a) + jnp.einsum(spec, oh, b) + jnp.einsum(spec, oh, c)
+
+
 @partial(jax.jit, static_argnames=("beam_width", "beam_cut", "fixed_stay_score"))
 def beam_search_device(
     scores_tnc: jnp.ndarray,  # [T, N, C] f32
@@ -113,7 +129,6 @@ def beam_search_device(
 
     elem_idx = jnp.arange(w, dtype=jnp.int32)
     r = num_states // 4  # one-hot row space (4 consecutive step states/row)
-    hi_prec = jax.lax.Precision.HIGHEST
 
     def step(carry, xs):
         beam_state, beam_hash, beam_score, _ = carry
@@ -129,15 +144,12 @@ def beam_search_device(
         # back-guide row are the last base.
         row_step = (prev & jnp.uint32(r - 1)).astype(jnp.int32)  # shifted >> 2
         oh_step = jax.nn.one_hot(row_step, r, dtype=jnp.float32)  # [N, W, r]
-        g_scores = jnp.einsum(
-            "nwr,nrk->nwk", oh_step, block_scores_r, precision=hi_prec
-        )  # [N, W, 16]
-        back_step = jnp.einsum(
-            "nwr,nrd->nwd", oh_step, block_back_r, precision=hi_prec
-        )  # [N, W, 4]
+        g_scores = _oh_lookup("nwr,nrk->nwk", oh_step, block_scores_r)  # [N, W, 16]
+        back_step = _oh_lookup("nwr,nrd->nwd", oh_step, block_back_r)  # [N, W, 4]
         oh_drop = jax.nn.one_hot(dropped.astype(jnp.int32), 4, dtype=jnp.float32)
-        trans = jnp.einsum(
-            "nwbd,nwd->nwb", g_scores.reshape(n, w, 4, 4), oh_drop, precision=hi_prec
+        # 4-wide contraction: plain VPU mult-reduce, exact in f32
+        trans = (g_scores.reshape(n, w, 4, 4) * oh_drop[:, :, None, :]).sum(
+            axis=-1
         )  # [N, W, 4] transition scores for the 4 step bases
 
         base = jnp.arange(4, dtype=jnp.uint32)
@@ -147,7 +159,7 @@ def beam_search_device(
 
         row_stay = (prev >> jnp.uint32(2)).astype(jnp.int32)
         oh_stay = jax.nn.one_hot(row_stay, r, dtype=jnp.float32)
-        g_stay = jnp.einsum("nwr,nrd->nwd", oh_stay, block_back_r, precision=hi_prec)
+        g_stay = _oh_lookup("nwr,nrd->nwd", oh_stay, block_back_r)
         oh_base = jax.nn.one_hot((prev & 3).astype(jnp.int32), 4, dtype=jnp.float32)
         stay_back = (g_stay * oh_base).sum(axis=-1)
         stay_score = beam_score + fixed_stay_score + stay_back
@@ -231,18 +243,21 @@ def beam_search_device(
         cutoff = jnp.where(done, cutoff, hi)
         elem_count = jnp.minimum(count_ge(cutoff), w)
 
-        # ---- order-preserving selection of survivors ----
+        # ---- order-preserving selection of survivors. Rank compaction
+        # (rank = exclusive running count of keeps) picks the same first-W
+        # kept candidates in index order that a stable sort would, without
+        # the ~64-stage bitonic network a 160-lane jnp.sort lowers to (the
+        # sort measured as the single largest slice of the step body). ----
         keep = cand_score >= cutoff[:, None]
-        sel_key = jnp.where(keep, 0, 1) * (5 * w) + jnp.arange(5 * w)[None, :]
-        sel_idx = (jnp.sort(sel_key, axis=1)[:, :w] % (5 * w)).astype(jnp.int32)
+        rank = jnp.cumsum(keep.astype(jnp.int32), axis=1) - 1  # [N, 5W]
         kept_rank = jnp.arange(w)[None, :]
         n_kept = jnp.minimum(keep.sum(axis=1), w)
         alive = kept_rank < jnp.minimum(elem_count, n_kept)[:, None]
 
         # masked-max selection — integer-exact, no lane gathers. Each selm
-        # row has exactly one True (sel_idx picks one candidate per slot).
+        # row has at most one True (ranks are unique among kept candidates).
         cand_back = jnp.concatenate([back_step.reshape(n, -1), stay_back], axis=1)
-        selm = jax.nn.one_hot(sel_idx, 5 * w, dtype=jnp.bool_)  # [N, W, 5W]
+        selm = keep[:, None, :] & (rank[:, None, :] == kept_rank[:, :, None])
         k_state = jnp.max(jnp.where(selm, cand_state[:, None, :], 0), axis=2)
         k_hash = jnp.max(jnp.where(selm, cand_hash[:, None, :], jnp.uint32(0)), axis=2)
         k_parent = jnp.max(jnp.where(selm, cand_parent[:, None, :], 0), axis=2)
