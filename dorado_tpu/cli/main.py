@@ -882,7 +882,7 @@ def _run_demux(args: argparse.Namespace) -> int:
             if args.sort_bam:
                 from dorado_tpu.io.sorted_bam import SortedBamWriter
 
-                w = SortedBamWriter(fh, header)
+                w = SortedBamWriter(fh, header, index_path=f"{path}.bai")
             else:
                 w = BamWriter(fh, header)
             for rec in recs:
@@ -1092,10 +1092,15 @@ def _run_aligner(args: argparse.Namespace) -> int:
             writer = BamWriter(fh, header)
         else:
             # bounded-memory coordinate sort with spill-to-disk merge
-            # (hts_file.h sort_bam mode)
+            # (hts_file.h sort_bam mode); sorted file output also gets a
+            # .bai like the reference (hts_file.cpp:446-509)
             from dorado_tpu.io.sorted_bam import SortedBamWriter
 
-            writer = SortedBamWriter(fh, header)
+            writer = SortedBamWriter(
+                fh,
+                header,
+                index_path=None if out_is_stdout else f"{args.output}.bai",
+            )
 
     n_mapped = 0
     ref_order = {name: i for i, name in enumerate(index.names)}

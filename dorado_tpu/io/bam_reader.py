@@ -302,3 +302,112 @@ def read_records(path: Path | str) -> tuple[str, list[SamRecord]]:
             else:
                 break
     return "".join(header_lines), list(iter_sam(path))
+
+
+class _BgzfRandomReader:
+    """Seekable BGZF reader addressed by virtual offsets (coffset<<16|uoffset)
+    — the read side of the .bai index (bai.py)."""
+
+    def __init__(self, fh):
+        self._fh = fh
+        self._payload = b""
+        self._coffset = 0  # disk offset of the loaded member
+        self._next_coffset = 0
+        self._off = 0
+
+    def _load(self, coffset: int) -> bool:
+        self._fh.seek(coffset)
+        hdr = self._fh.read(12)
+        if len(hdr) < 12 or hdr[:2] != b"\x1f\x8b":
+            return False
+        xlen = struct.unpack_from("<H", hdr, 10)[0]
+        extra = self._fh.read(xlen)
+        bsize = None
+        epos = 0
+        while epos < len(extra):
+            si1, si2 = extra[epos], extra[epos + 1]
+            slen = struct.unpack_from("<H", extra, epos + 2)[0]
+            if si1 == 66 and si2 == 67:
+                bsize = struct.unpack_from("<H", extra, epos + 4)[0] + 1
+            epos += 4 + slen
+        if bsize is None:
+            return False
+        rest = self._fh.read(bsize - 12 - xlen)
+        cdata = rest[:-8]
+        self._payload = zlib.decompress(cdata, -15) if cdata else b""
+        self._coffset = coffset
+        self._next_coffset = coffset + bsize
+        self._off = 0
+        return bool(self._payload)
+
+    def seek_voffset(self, v: int) -> bool:
+        if not self._load(v >> 16):
+            return False
+        self._off = v & 0xFFFF
+        return self._off <= len(self._payload)
+
+    def voffset(self) -> int:
+        if self._off >= len(self._payload):
+            return self._next_coffset << 16
+        return (self._coffset << 16) | self._off
+
+    def read(self, n: int) -> bytes:
+        parts = []
+        need = n
+        while need:
+            avail = len(self._payload) - self._off
+            if avail == 0:
+                if not self._load(self._next_coffset):
+                    break
+                continue
+            take = min(avail, need)
+            parts.append(self._payload[self._off : self._off + take])
+            self._off += take
+            need -= take
+        return b"".join(parts)
+
+
+def fetch_region(
+    path: Path | str, rname: str, beg: int, end: int, bai_path: Path | str | None = None
+) -> list[SamRecord]:
+    """Records overlapping [beg, end) (0-based half-open) on ``rname``,
+    located through the .bai index — samtools-view region semantics over
+    this module's own readers."""
+    from dorado_tpu.io.bai import cigar_ref_span, query_chunks, read_bai
+
+    path = Path(path)
+    bai_path = Path(bai_path) if bai_path else Path(str(path) + ".bai")
+    with open(path, "rb") as fh:
+        _, refs, _ = stream_bam(fh)
+    names = [n for n, _ in refs]
+    tid = names.index(rname)
+    with open(bai_path, "rb") as fh:
+        bins, linear, _ = read_bai(fh)
+    chunks = query_chunks(bins.get(tid, {}), linear.get(tid, []), beg, end)
+
+    out: list[SamRecord] = []
+    seen: set[int] = set()
+    with open(path, "rb") as fh:
+        r = _BgzfRandomReader(fh)
+        for c0, c1 in chunks:
+            if not r.seek_voffset(c0):
+                continue
+            while r.voffset() < c1:
+                v_rec = r.voffset()
+                raw_size = r.read(4)
+                if len(raw_size) < 4:
+                    break
+                block = r.read(struct.unpack("<i", raw_size)[0])
+                if v_rec in seen:
+                    continue
+                seen.add(v_rec)
+                rec = decode_bam_record(block)
+                if rec.rname != "*":
+                    idx = int(rec.rname)
+                    rec.rname = refs[idx][0] if 0 <= idx < len(refs) else "*"
+                if rec.rname != rname or rec.pos <= 0:
+                    continue
+                b = rec.pos - 1
+                if b < end and b + cigar_ref_span(rec.cigar) > beg:
+                    out.append(rec)
+    return out

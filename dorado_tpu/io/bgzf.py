@@ -24,6 +24,12 @@ class BgzfWriter:
         self._fh = fileobj
         self._level = level
         self._buffer = bytearray()
+        self._coffset = 0  # compressed bytes emitted so far
+
+    def virtual_offset(self) -> int:
+        """BGZF virtual offset (coffset << 16 | uoffset) of the next byte
+        written — the coordinate BAI indexing addresses records by."""
+        return (self._coffset << 16) | len(self._buffer)
 
     def write(self, data: bytes) -> None:
         self._buffer += data
@@ -46,6 +52,7 @@ class BgzfWriter:
         )
         footer = struct.pack("<II", zlib.crc32(payload) & 0xFFFFFFFF, len(payload))
         self._fh.write(header + cdata + footer)
+        self._coffset += bsize  # gzip member size on disk (header+cdata+footer)
 
     def close(self) -> None:
         if self._buffer:

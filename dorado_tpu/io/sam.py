@@ -207,9 +207,14 @@ class SamHeader:
 
 
 class BamWriter:
-    """Unsorted BAM writer over BGZF."""
+    """Unsorted BAM writer over BGZF. With ``index=True`` a BAI builder
+    tracks every record's bin/voffset span (hts_file.cpp:446-509 writes the
+    .bai during its final sorted merge the same way); call
+    ``write_index(fh)`` after the records."""
 
-    def __init__(self, fileobj: BinaryIO, header: SamHeader, level: int = 6):
+    def __init__(
+        self, fileobj: BinaryIO, header: SamHeader, level: int = 6, index: bool = False
+    ):
         self._bgzf = BgzfWriter(fileobj, level=level)
         self._ref_ids = header.ref_ids()
         text = header.to_text().encode()
@@ -220,10 +225,34 @@ class BamWriter:
             blob += struct.pack("<i", len(nb)) + nb + struct.pack("<i", length)
         self._bgzf.write(blob)
         self.records_written = 0
+        self._bai = None
+        if index:
+            from dorado_tpu.io.bai import BaiBuilder
+
+            self._bai = BaiBuilder(len(header.references))
 
     def write(self, rec: SamRecord) -> None:
-        self._bgzf.write(encode_bam_record(rec, self._ref_ids))
+        if self._bai is not None:
+            from dorado_tpu.io.bai import cigar_ref_span
+
+            v0 = self._bgzf.virtual_offset()
+            self._bgzf.write(encode_bam_record(rec, self._ref_ids))
+            v1 = self._bgzf.virtual_offset()
+            tid = self._ref_ids.get(rec.rname, -1)
+            beg = rec.pos - 1
+            if tid < 0 or beg < 0:
+                self._bai.add(-1, -1, -1, v0, v1, False)
+            else:
+                end = beg + cigar_ref_span(rec.cigar)
+                self._bai.add(tid, beg, end, v0, v1, not (rec.flag & 4))
+        else:
+            self._bgzf.write(encode_bam_record(rec, self._ref_ids))
         self.records_written += 1
+
+    def write_index(self, fh: BinaryIO) -> None:
+        if self._bai is None:
+            raise ValueError("BamWriter was not constructed with index=True")
+        self._bai.write(fh)
 
     def close(self) -> None:
         self._bgzf.close()

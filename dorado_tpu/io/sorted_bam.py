@@ -39,10 +39,14 @@ class SortedBamWriter:
         header: SamHeader,
         max_buffered: int = 100_000,
         tmp_dir: str | None = None,
+        index_path: str | Path | None = None,
     ):
         header.sort_order = "coordinate"
         self._fileobj = fileobj
         self._header = header
+        # the reference writes <out>.bai alongside every sorted BAM
+        # (hts_file.cpp:446-509); index_path enables the same here
+        self._index_path = Path(index_path) if index_path else None
         self._ref_order = {name: i for i, (name, _) in enumerate(header.references)}
         self._max_buffered = max_buffered
         self._buffer: list[tuple[int, int, SamRecord]] = []
@@ -69,14 +73,22 @@ class SortedBamWriter:
         self._temp_files.append(Path(path))
         self._buffer.clear()
 
+    def _finish(self, out: BamWriter) -> None:
+        out.close()
+        if self._index_path is not None:
+            with open(self._index_path, "wb") as fh:
+                out.write_index(fh)
+
     def close(self) -> None:
-        out = BamWriter(self._fileobj, self._header)
+        out = BamWriter(
+            self._fileobj, self._header, index=self._index_path is not None
+        )
         if not self._temp_files:
             # everything fit in memory: plain sort + write
             self._buffer.sort(key=lambda kv: kv[:2])
             for _, _, rec in self._buffer:
                 out.write(rec)
-            out.close()
+            self._finish(out)
             return
         self._flush_run()
 
@@ -91,7 +103,7 @@ class SortedBamWriter:
             key=lambda kir: kir[:2],
         ):
             out.write(rec)
-        out.close()
+        self._finish(out)
         for p in self._temp_files:
             try:
                 p.unlink()
