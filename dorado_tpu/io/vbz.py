@@ -14,9 +14,25 @@ import zstandard
 
 
 def svb16_decode(raw: bytes, count: int, zigzag: bool = True, delta: bool = True) -> np.ndarray:
-    """Decode an svb16 payload of ``count`` values to int16."""
+    """Decode an svb16 payload of ``count`` values to int16.
+
+    Routes through the C fast path (native/vbz.cpp, ~40x per thread and
+    GIL-free for the loader's worker threads); the vectorised numpy
+    implementation below is the fallback and the parity reference."""
     if count == 0:
         return np.zeros(0, dtype=np.int16)
+    try:
+        from dorado_tpu.native import svb16_decode_native
+
+        return svb16_decode_native(raw, count, zigzag=zigzag, delta=delta)
+    except Exception:
+        pass
+    return _svb16_decode_numpy(raw, count, zigzag=zigzag, delta=delta)
+
+
+def _svb16_decode_numpy(
+    raw: bytes, count: int, zigzag: bool = True, delta: bool = True
+) -> np.ndarray:
     key_len = (count + 7) // 8
     keys = np.frombuffer(raw, np.uint8, count=key_len)
     bits = np.unpackbits(keys, bitorder="little")[:count].astype(np.int64)

@@ -103,8 +103,34 @@ def _get_lib() -> ctypes.CDLL:
             _f32p,
             ctypes.POINTER(ctypes.c_float),
         ]
+        lib.svb16_decode_native.restype = ctypes.c_int
+        lib.svb16_decode_native.argtypes = [
+            np.ctypeslib.ndpointer(dtype=np.uint8, flags="C_CONTIGUOUS"),
+            ctypes.c_int64,
+            ctypes.c_int64,
+            ctypes.c_int,
+            ctypes.c_int,
+            np.ctypeslib.ndpointer(dtype=np.int16, flags="C_CONTIGUOUS"),
+        ]
         _lib = lib
     return _lib
+
+
+def svb16_decode_native(
+    raw: bytes, count: int, zigzag: bool = True, delta: bool = True
+) -> np.ndarray:
+    """C svb16 decode (vbz.cpp); ~40x the numpy path per thread, and ctypes
+    releases the GIL so POD5 loader threads decode concurrently. Raises
+    ValueError on a truncated payload (callers fall back to numpy)."""
+    lib = _get_lib()
+    out = np.empty(count, dtype=np.int16)
+    buf = np.frombuffer(raw, dtype=np.uint8)
+    rc = lib.svb16_decode_native(
+        buf, len(buf), count, int(zigzag), int(delta), out
+    )
+    if rc != 0:
+        raise ValueError("truncated svb16 payload")
+    return out
 
 
 def beam_search_native(

@@ -97,3 +97,24 @@ def test_reads_every_reference_fixture():
             assert len(read.signal) > 0
             total += 1
     assert total >= 40
+
+
+def test_svb16_native_matches_numpy_fuzz():
+    """The C fast path (native/vbz.cpp) and the numpy reference decode
+    identically across zigzag/delta modes and ragged lengths."""
+    import numpy as np
+
+    from dorado_tpu.io.vbz import _svb16_decode_numpy, svb16_encode
+    from dorado_tpu.native import svb16_decode_native
+
+    rs = np.random.RandomState(3)
+    for _ in range(40):
+        n = int(rs.randint(0, 3000))
+        sig = (rs.randn(n) * rs.randint(1, 60)).cumsum().astype(np.int16)
+        for zigzag in (False, True):
+            for delta in (False, True):
+                enc = svb16_encode(sig, zigzag=zigzag, delta=delta)
+                a = svb16_decode_native(enc, n, zigzag=zigzag, delta=delta)
+                b = _svb16_decode_numpy(enc, n, zigzag=zigzag, delta=delta)
+                np.testing.assert_array_equal(a, b)
+                np.testing.assert_array_equal(a, sig)
