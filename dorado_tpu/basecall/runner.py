@@ -377,15 +377,17 @@ class BasecallRunner:
                 # one fused pass over the score stream does the alpha LSE
                 # recursion, the posterior rows, and the Viterbi choices —
                 # the separate kernels each re-stream the full score tensor
-                from dorado_tpu.ops.crf_pallas import fused_forward_decode_pallas
-                from dorado_tpu.ops.crf_scan import viterbi_traceback
+                from dorado_tpu.ops.crf_pallas import (
+                    fused_forward_decode_pallas,
+                    viterbi_traceback_pallas,
+                )
 
                 beta = bwd_scan(scores_tnc, blank)
                 t_posts, choices, final = fused_forward_decode_pallas(
                     scores_tnc, beta, blank
                 )
                 last_state = jnp.argmax(final, axis=-1).astype(jnp.int32)
-                states, moves = viterbi_traceback(choices, last_state)
+                states, moves = viterbi_traceback_pallas(choices, last_state)
                 t_posts_nt = jnp.swapaxes(t_posts, 0, 1)
             else:
                 alpha = fwd_scan(scores_tnc, blank)

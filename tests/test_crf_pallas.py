@@ -112,3 +112,19 @@ def test_fused_forward_decode_matches_separate():
     np.testing.assert_allclose(
         np.asarray(final), np.asarray(fin_ref), rtol=1e-5, atol=1e-5
     )
+
+
+def test_traceback_kernel_matches_xla():
+    """viterbi_traceback_pallas (one-hot-plane traceback, reverse-streamed
+    choices) must match the XLA scan exactly."""
+    from dorado_tpu.ops.crf_pallas import viterbi_traceback_pallas
+    from dorado_tpu.ops.crf_scan import viterbi_traceback
+
+    rs = np.random.RandomState(11)
+    t, n, s = 24, 8, 256
+    choices = jnp.asarray(rs.randint(0, 5, (t, n, s)).astype(np.int8))
+    last = jnp.asarray(rs.randint(0, s, (n,)).astype(np.int32))
+    st_ref, mv_ref = viterbi_traceback(choices, last)
+    st_p, mv_p = viterbi_traceback_pallas(choices, last, interpret=True)
+    np.testing.assert_array_equal(np.asarray(st_p), np.asarray(st_ref))
+    np.testing.assert_array_equal(np.asarray(mv_p), np.asarray(mv_ref))
