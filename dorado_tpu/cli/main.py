@@ -1170,6 +1170,13 @@ def _add_polish(sub: argparse._SubParsersAction) -> None:
     p.add_argument("--hp-tag", action="store_true",
                    help="Source the haplotag feature column from BAM HP tags "
                         "(default: unphased, matching the reference polish)")
+    p.add_argument("--no-fill-gaps", action="store_true",
+                   help="Do not fill uncovered spans from the draft; emit one "
+                        "record per covered run (polish.cpp:213)")
+    p.add_argument("--RG", dest="rg", default="",
+                   help="Read group to select (polish.cpp:222)")
+    p.add_argument("--ignore-read-groups", action="store_true",
+                   help="Process all read groups (polish.cpp:223)")
     _add_common_opts(p)
     p.set_defaults(func=_run_polish)
 
@@ -1237,6 +1244,8 @@ def _run_polish(args: argparse.Namespace) -> int:
         params = init_gru_params(jax.random.PRNGKey(0))
 
     by_contig = _collect_alignments(args)
+    if by_contig is None:
+        return 1
 
     pipeline = PolishPipeline(
         params, window_len=args.window_len, forward=forward,
@@ -1250,6 +1259,7 @@ def _run_polish(args: argparse.Namespace) -> int:
         args.draft, by_contig,
         regions=_parse_regions(args.regions),
         with_quals=args.qualities,
+        fill_gaps=not args.no_fill_gaps,
     )
 
     fh = sys.stdout if args.output == "-" else open(args.output, "w")
@@ -1296,6 +1306,10 @@ def _add_variant(sub: argparse._SubParsersAction) -> None:
     p.add_argument("--unphased", action="store_true",
                    help="Disable the haplotag feature column's phasing "
                         "(variant.cpp:492-495 UNPHASED)")
+    p.add_argument("--RG", dest="rg", default="",
+                   help="Read group to select (bam_info.cpp:115 semantics)")
+    p.add_argument("--ignore-read-groups", action="store_true",
+                   help="Process all read groups")
     _add_common_opts(p)
     p.set_defaults(func=_run_variant)
 
@@ -1442,11 +1456,42 @@ def _collect_alignments(args):
                     )
                 )
         return by_contig
-    _, records = read_records(args.reads)
+    header_text, records = read_records(args.reads)
+    # read-group selection (secondary/common/bam_info.cpp:103-118): multiple
+    # RGs require --RG or --ignore-read-groups; --RG must name an existing one
+    rg_ids = [
+        f.split(":", 1)[1]
+        for line in header_text.splitlines()
+        if line.startswith("@RG")
+        for f in line.split("\t")[1:]
+        if f.startswith("ID:")
+    ]
+    want_rg = getattr(args, "rg", "") or ""
+    if want_rg and rg_ids and want_rg not in rg_ids:
+        print(
+            f"> Read group '{want_rg}' not found in the input BAM.",
+            file=sys.stderr,
+        )
+        return None
+    if (
+        not want_rg
+        and len(rg_ids) > 1
+        and not getattr(args, "ignore_read_groups", False)
+    ):
+        print(
+            "> The input BAM contains more than one read group. Specify --RG "
+            "to select one, or --ignore-read-groups to process all.",
+            file=sys.stderr,
+        )
+        return None
     by_contig = {}
     for rec in records:
         if rec.flag & 4 or rec.rname == "*" or rec.cigar == "*":
             continue
+        if want_rg:
+            rg = next((t.value for t in rec.tags if t.tag == "RG"), None)
+            if rg != want_rg:
+                continue
         if rec.mapq < min_mapq:
             continue
         tags = {t.tag: t for t in rec.tags}

@@ -118,6 +118,7 @@ class PolishPipeline:
         region_start: int = 0,
         region_end: int | None = None,
         with_quals: bool = False,
+        fill_gaps: bool = True,
     ):
         """Polish one contig with overlapping, midpoint-trimmed windows.
         ``region_start/region_end`` restrict polishing to a sub-span (the
@@ -127,9 +128,12 @@ class PolishPipeline:
         region_end = n if region_end is None else min(region_end, n)
         pieces = []
         quals = []
+        # (covered?, draft_lo, draft_hi) per piece, for --no-fill-gaps
+        meta = []
         if region_start > 0:
             pieces.append(draft[:region_start])
             quals.append("!" * region_start)
+            meta.append((False, 0, region_start))
 
         stride = max(1, self.window_len - self.window_overlap)
         piles = []
@@ -166,6 +170,10 @@ class PolishPipeline:
                 ]
                 pieces.append("".join(kept))
                 quals.append("!" * len(kept))
+                meta.append(
+                    (False, int(majors[0]) if len(majors) else start,
+                     int(majors[-1]) + 1 if len(majors) else start)
+                )
                 continue
             if self.feature_kind == "read_level":
                 from dorado_tpu.secondary.read_matrix import build_read_matrix
@@ -205,9 +213,31 @@ class PolishPipeline:
                     qual_out.append(chr(33 + q))
             pieces.append("".join(out))
             quals.append("".join(qual_out))
+            majors = pile.positions_major[klo:khi]
+            meta.append(
+                (True, int(majors[0]) if len(majors) else start,
+                 int(majors[-1]) + 1 if len(majors) else start)
+            )
         if region_end < n:
             pieces.append(draft[region_end:])
             quals.append("!" * (n - region_end))
+            meta.append((False, region_end, n))
+        if not fill_gaps:
+            # emit one record per covered run with its draft coordinates
+            # (polish.cpp:480-513 --no-fill-gaps headers "name_i start-end")
+            runs = []
+            for piece, qual, (cov, lo, hi) in zip(pieces, quals, meta):
+                if not cov:
+                    continue
+                if runs and runs[-1][1] == lo:
+                    prev = runs[-1]
+                    runs[-1] = (prev[0], hi, prev[2] + piece, prev[3] + qual)
+                else:
+                    runs.append((lo, hi, piece, qual))
+            return [
+                (lo, hi, seq, qual) if with_quals else (lo, hi, seq)
+                for lo, hi, seq, qual in runs
+            ]
         seq = "".join(pieces)
         return (seq, "".join(quals)) if with_quals else seq
 
@@ -227,9 +257,13 @@ class PolishPipeline:
         alignments_by_contig: dict[str, list[AlignedRead]],
         regions: dict | None = None,
         with_quals: bool = False,
+        fill_gaps: bool = True,
     ):
         """[(name, polished)] for every draft contig; `regions`
-        ({ctg: (start, end) | None}) restricts which contigs/spans run."""
+        ({ctg: (start, end) | None}) restricts which contigs/spans run.
+        With fill_gaps=False, uncovered spans are dropped and each covered
+        run becomes its own record named "name_i start-end"
+        (polish.cpp:480-513)."""
         out = []
         for name, seq in read_fasta(draft_fasta):
             if regions is not None and name not in regions:
@@ -237,8 +271,17 @@ class PolishPipeline:
             span = regions.get(name) if regions else None
             start, end = span if span else (0, None)
             reads = alignments_by_contig.get(name, [])
-            out.append(
-                (name, self.polish_contig(seq, reads, start, end, with_quals))
+            result = self.polish_contig(
+                seq, reads, start, end, with_quals, fill_gaps=fill_gaps
             )
+            if fill_gaps:
+                out.append((name, result))
+            else:
+                for i, rec in enumerate(result):
+                    lo, hi, rest = rec[0], rec[1], rec[2:]
+                    label = f"{name}_{i} {lo}-{hi}"
+                    out.append(
+                        (label, rest[0] if len(rest) == 1 else tuple(rest))
+                    )
             self.stats.contigs += 1
         return out

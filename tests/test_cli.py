@@ -567,3 +567,60 @@ class TestCliSurface:
         assert "TorchScript" in r.stderr
         assert "Polished 1 contig(s)" in r.stderr
         assert (tmp_path / "pt.fasta").read_text().startswith(">")
+
+    def test_polish_no_fill_gaps_and_read_groups(self, ref_and_reads, tmp_path):
+        """--no-fill-gaps emits per-covered-run records with draft
+        coordinates (polish.cpp:480-513); multiple read groups require --RG
+        or --ignore-read-groups (bam_info.cpp:103-118)."""
+        ref, reads = ref_and_reads
+        r = run_cli(
+            "polish", str(reads), str(ref), "-o", str(tmp_path / "g.fasta"),
+            "--window-len", "8000", "--no-fill-gaps",
+        )
+        assert r.returncode == 0, r.stderr
+        headers = [
+            l for l in (tmp_path / "g.fasta").read_text().splitlines()
+            if l.startswith(">")
+        ]
+        assert headers and all(
+            "_" in h and "-" in h.split(" ")[-1] for h in headers
+        ), headers
+
+        # two @RG lines -> refused without --RG / --ignore-read-groups
+        from dorado_tpu.io.sam import BamWriter, SamHeader, SamRecord, SamTag
+
+        ref_seq = "".join(
+            l.strip() for l in open(ref).read().splitlines() if not l.startswith(">")
+        )
+        header = SamHeader()
+        header.references = [("ctg", len(ref_seq))]
+        header.read_groups = [
+            {"ID": "rg_a", "SM": "a"},
+            {"ID": "rg_b", "SM": "b"},
+        ]
+        multi = tmp_path / "multi_rg.bam"
+        with open(multi, "wb") as fh:
+            w = BamWriter(fh, header)
+            for i in range(4):
+                pos = 1 + i * 3000
+                seq = ref_seq[pos - 1 : pos - 1 + 1200]
+                w.write(SamRecord(
+                    qname=f"r{i}", flag=0, rname="ctg", pos=pos, mapq=60,
+                    cigar=f"{len(seq)}M", seq=seq, qual="I" * len(seq),
+                    tags=[SamTag("RG", "Z", "rg_a" if i % 2 == 0 else "rg_b")],
+                ))
+            w.close()
+        r = run_cli("polish", str(multi), str(ref), "-o", str(tmp_path / "m.fasta"))
+        assert r.returncode == 1
+        assert "more than one read group" in r.stderr
+        r = run_cli(
+            "polish", str(multi), str(ref), "-o", str(tmp_path / "m2.fasta"),
+            "--RG", "rg_a", "--window-len", "8000",
+        )
+        assert r.returncode == 0, r.stderr
+        r = run_cli(
+            "polish", str(multi), str(ref), "-o", str(tmp_path / "m3.fasta"),
+            "--RG", "nope",
+        )
+        assert r.returncode == 1
+        assert "not found" in r.stderr
