@@ -573,9 +573,14 @@ def fused_forward_decode_pallas(
 
     posts[t-1] == softmax(alpha_full[t] + beta_full[t]) for t in 1..T — the
     rows device_qual consumes (row 0 of the [T+1] posterior history is never
-    used). choices/final match _viterbi_fwd_pallas exactly. Dense-lattice
-    spaces only (hac/fast); sup routes through the block-layout kernels.
+    used). choices/final match the standalone Viterbi kernels exactly.
+    Dense-lattice spaces use the dense kernel; sup-sized spaces route
+    through the block-layout variant.
     """
+    if _use_block_layout(scores_tnc.shape[-1]):
+        return _fused_forward_decode_blk(
+            scores_tnc, beta_full, float(stay_score), interpret
+        )
     t_len, n, c = scores_tnc.shape
     s = c // 4
     bn = _pick_bn(n)
@@ -742,11 +747,138 @@ def _traceback_body(ch_ref, preds_ref, iota_ref, st_ref, mv_ref, oh_ref, bt, s):
     oh_ref[:] = oh
 
 
+def _fused_fwd_blk_kernel(
+    sc_ref,
+    beta_ref,
+    r4_ref,
+    posts_ref,
+    choices_ref,
+    final_ref,
+    acarry_ref,
+    vcarry_ref,
+    *,
+    bt,
+    stay_factor,
+    stay_score,
+    s4,
+):
+    """Block-layout variant of _fused_fwd_kernel for large state spaces
+    (sup, S=1024): scores arrive pre-permuted to c' = r*S + s, wiring via
+    the [S/4, S] repeat matrix (see the block-layout section above)."""
+    t_idx = pl.program_id(1)
+
+    @pl.when(t_idx == 0)
+    def _():
+        acarry_ref[:] = jnp.zeros_like(acarry_ref)
+        vcarry_ref[:] = jnp.zeros_like(vcarry_ref)
+
+    s = 4 * s4
+    ac = acarry_ref[:]
+    vc = vcarry_ref[:]
+    for i in range(bt):
+        # alpha LSE step (identical numerics to _lse_fwd_blk_kernel)
+        m = jnp.max(ac, axis=-1, keepdims=True)
+        ec = jnp.exp(ac - m)
+        red = ec * stay_factor
+        for r in range(4):
+            ecp = _dot2(ec[:, r * s4 : (r + 1) * s4], r4_ref[:])
+            red = red + ecp * jnp.exp(sc_ref[i, :, r * s : (r + 1) * s])
+        ac = m + jnp.log(red)
+        # posterior row t+1
+        pb = ac + beta_ref[i]
+        pm = jnp.max(pb, axis=-1, keepdims=True)
+        pe = jnp.exp(pb - pm)
+        posts_ref[i] = pe / jnp.sum(pe, axis=-1, keepdims=True)
+        # Viterbi max-plus step (identical numerics to _viterbi_blk_kernel)
+        vc = vc - jnp.max(vc, axis=-1, keepdims=True)
+        red4 = []
+        for r in range(4):
+            avp = _dot2(vc[:, r * s4 : (r + 1) * s4], r4_ref[:])
+            red4.append(avp + sc_ref[i, :, r * s : (r + 1) * s])
+        best = jnp.maximum(
+            jnp.maximum(red4[0], red4[1]), jnp.maximum(red4[2], red4[3])
+        )
+        best_r = jnp.where(
+            jnp.maximum(red4[0], red4[1]) >= jnp.maximum(red4[2], red4[3]),
+            jnp.where(red4[0] >= red4[1], 0, 1),
+            jnp.where(red4[2] >= red4[3], 2, 3),
+        )
+        stay = vc + stay_score
+        is_stay = stay >= best
+        vc = jnp.where(is_stay, stay, best)
+        choices_ref[i] = jnp.where(is_stay, 4, best_r).astype(jnp.int8)
+    acarry_ref[:] = ac
+    vcarry_ref[:] = vc
+    final_ref[:] = vc
+
+
+@functools.partial(jax.jit, static_argnames=("stay_score", "interpret"))
+def _fused_forward_decode_blk(scores_tnc, beta_full, stay_score: float, interpret: bool):
+    t_len, n, c = scores_tnc.shape
+    s = c // 4
+    s4 = s // 4
+    bn = _pick_bn(n)
+    per_t = bn * (c * 4 * 2 + s * 4 * 2 + s * 4 * 2 + s * 2)
+    bt = 1
+    for cand in range(1, t_len + 1):
+        if t_len % cand:
+            continue
+        if cand * per_t > _VMEM_BUDGET:
+            break
+        bt = cand
+    n_tiles, t_tiles = n // bn, t_len // bt
+    stay_factor = float(np.exp(stay_score))
+
+    perm = jnp.asarray(block_permutation(s))
+    blk = scores_tnc.astype(jnp.float32)[..., perm]
+    r4, _ = _repeat_matrices(s)
+    kernel = functools.partial(
+        _fused_fwd_blk_kernel,
+        bt=bt,
+        stay_factor=stay_factor,
+        stay_score=float(stay_score),
+        s4=s4,
+    )
+    t_map = lambda b, t: (t, b, 0)  # noqa: E731
+    beta_shift = beta_full[1:]
+    f = pl.pallas_call(
+        kernel,
+        grid=(n_tiles, t_tiles),
+        in_specs=[
+            pl.BlockSpec((bt, bn, c), t_map, memory_space=pltpu.VMEM),
+            pl.BlockSpec((bt, bn, s), t_map, memory_space=pltpu.VMEM),
+            pl.BlockSpec(r4.shape, lambda b, t: (0, 0), memory_space=pltpu.VMEM),
+        ],
+        out_specs=[
+            pl.BlockSpec((bt, bn, s), t_map, memory_space=pltpu.VMEM),
+            pl.BlockSpec((bt, bn, s), t_map, memory_space=pltpu.VMEM),
+            pl.BlockSpec((bn, s), lambda b, t: (b, 0), memory_space=pltpu.VMEM),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((t_len, n, s), jnp.float32),
+            jax.ShapeDtypeStruct((t_len, n, s), jnp.int8),
+            jax.ShapeDtypeStruct((n, s), jnp.float32),
+        ],
+        scratch_shapes=[
+            pltpu.VMEM((bn, s), jnp.float32),
+            pltpu.VMEM((bn, s), jnp.float32),
+        ],
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("arbitrary", "arbitrary")
+        ),
+        interpret=interpret,
+    )
+    return f(blk, beta_shift.astype(jnp.float32), jnp.asarray(r4, jnp.bfloat16))
+
+
 def supports_fused_decode(num_transitions: int) -> bool:
-    """The fused forward kernel keeps the dense [S, C] lattice matrices and
-    the 4 selection matrices resident — dense-lattice spaces only."""
+    """Dense spaces keep the [S, C] lattice + selection matrices resident;
+    larger spaces (sup state_len 5) route through the block-layout fused
+    kernel, which only needs the [S/4, S] repeat matrix."""
     s = num_transitions // 4
-    return 2 * s * num_transitions * 4 <= 4 * 1024 * 1024
+    if 2 * s * num_transitions * 4 <= 4 * 1024 * 1024:
+        return True
+    return s <= 4096
 
 
 def use_pallas_decode() -> bool:

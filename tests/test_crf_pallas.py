@@ -98,7 +98,7 @@ def test_fused_forward_decode_matches_separate():
         supports_fused_decode,
     )
 
-    assert supports_fused_decode(1024) and not supports_fused_decode(4096)
+    assert supports_fused_decode(1024) and supports_fused_decode(4096)
     scores = _scores(12, 4, 1024, seed=5)
     alpha = forward_scores(scores, 2.0)
     beta = backward_scores(scores, 2.0)
@@ -128,3 +128,28 @@ def test_traceback_kernel_matches_xla():
     st_p, mv_p = viterbi_traceback_pallas(choices, last, interpret=True)
     np.testing.assert_array_equal(np.asarray(st_p), np.asarray(st_ref))
     np.testing.assert_array_equal(np.asarray(mv_p), np.asarray(mv_ref))
+
+
+def test_fused_forward_decode_block_layout():
+    """sup-sized spaces (C=4096) route through the block-layout fused
+    kernel; posts/choices/final match the separate block kernels."""
+    from dorado_tpu.ops.crf_pallas import (
+        _viterbi_fwd_pallas_blk,
+        fused_forward_decode_pallas,
+        supports_fused_decode,
+    )
+
+    assert supports_fused_decode(4096)
+    scores = _scores(6, 4, 4096, seed=8, scale=1.5)
+    beta = backward_scores(scores, 2.0)
+    alpha = forward_scores(scores, 2.0)
+    posts_ref = np.asarray(jax.nn.softmax(alpha + beta, axis=-1))[1:]
+    ch_ref, fin_ref = _viterbi_fwd_pallas_blk(scores, 2.0, True)
+    posts, choices, final = fused_forward_decode_pallas(
+        scores, beta, 2.0, interpret=True
+    )
+    assert np.abs(np.asarray(posts) - posts_ref).max() < 1e-3
+    np.testing.assert_array_equal(np.asarray(choices), np.asarray(ch_ref))
+    np.testing.assert_allclose(
+        np.asarray(final), np.asarray(fin_ref), rtol=1e-5, atol=1e-5
+    )
