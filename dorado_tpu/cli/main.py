@@ -1004,6 +1004,11 @@ def _add_aligner(sub: argparse._SubParsersAction) -> None:
     p.add_argument("--mm2-opts", default=None,
                    help="minimap2-style option string, e.g. '-k 15 -w 10'")
     p.add_argument("--max-reads", type=int, default=None)
+    p.add_argument("-r", "--recursive", action="store_true",
+                   help="Search the reads folder recursively (aligner.cpp)")
+    p.add_argument("--allow-sec-supp", action="store_true",
+                   help="Re-align input secondary/supplementary records "
+                        "instead of skipping them (aligner.cpp:143,183)")
     _add_common_opts(p)
     p.set_defaults(func=_run_aligner)
 
@@ -1027,10 +1032,12 @@ def _read_fastq(path):
 def _run_aligner(args: argparse.Namespace) -> int:
     from dorado_tpu.alignment import Mapper, ReferenceIndex
     from dorado_tpu.io.bam_reader import read_records
-    from dorado_tpu.io.sam import BamWriter, SamHeader, SamTag, SamWriter
+    from dorado_tpu.io.sam import BamWriter, SamHeader, SamRecord, SamTag, SamWriter
     from dorado_tpu.utils import reverse_complement
 
     k, w = args.k, args.w
+    # minimap2 defaults: up to 5 secondary alignments (--secondary=yes, -N 5)
+    n_secondary = 5
     if args.mm2_opts:
         # minimap2-style option string (alignment/minimap2_args parity for
         # the supported subset)
@@ -1047,13 +1054,19 @@ def _run_aligner(args: argparse.Namespace) -> int:
                 k = int(toks[i][2:]); i += 1
             elif toks[i].startswith("-w") and len(toks[i]) > 2:
                 w = int(toks[i][2:]); i += 1
+            elif toks[i] == "--secondary=no":
+                n_secondary = 0; i += 1
+            elif toks[i] == "--secondary=yes":
+                i += 1
+            elif toks[i] == "-N" and i + 1 < len(toks):
+                n_secondary = int(toks[i + 1]); i += 2
             else:
                 print(f"> Ignoring unsupported mm2 option {toks[i]!r}", file=sys.stderr)
                 i += 1
 
     print(f"> Indexing {args.reference}", file=sys.stderr)
     index = ReferenceIndex.build(args.reference, k=k, w=w)
-    mapper = Mapper(index)
+    mapper = Mapper(index, max_alignments=1 + n_secondary)
 
     bed = None
     if args.bed_file:
@@ -1061,10 +1074,31 @@ def _run_aligner(args: argparse.Namespace) -> int:
 
         bed = BedFile.load(args.bed_file)
 
-    if args.reads.endswith((".fastq", ".fq")):
-        records = _read_fastq(args.reads)
+    from pathlib import Path as P
+
+    reads_path = P(args.reads)
+    if reads_path.is_dir():
+        # folder input like the reference's HtsReader loop (aligner.cpp)
+        pattern = "**/*" if args.recursive else "*"
+        read_files = sorted(
+            p for p in reads_path.glob(pattern)
+            if p.suffix in (".bam", ".sam", ".fastq", ".fq")
+        )
+        if not read_files:
+            print(f"> No read files found in {args.reads}", file=sys.stderr)
+            return 1
     else:
-        _, records = read_records(args.reads)
+        read_files = [reads_path]
+    records = []
+    for rf in read_files:
+        if rf.suffix in (".fastq", ".fq"):
+            records.extend(_read_fastq(str(rf)))
+        else:
+            records.extend(read_records(str(rf))[1])
+    if not args.allow_sec_supp:
+        # input secondary/supplementary records are dropped before
+        # re-alignment by default (aligner.cpp:183 skip_sec_supp)
+        records = [r for r in records if not (r.flag & 0x900)]
     if args.max_reads is not None:
         records = records[: args.max_reads]
 
@@ -1114,6 +1148,20 @@ def _run_aligner(args: argparse.Namespace) -> int:
             continue
         a = alns[0]
         n_mapped += 1
+        # lower-ranked chains become secondary records (flag 0x100) the way
+        # minimap2 emits them (SEQ/QUAL omitted per the SAM spec convention)
+        for sec in alns[1:]:
+            aligned.append(SamRecord(
+                qname=rec.qname,
+                flag=(0x100 | (16 if sec.is_reverse else 0)),
+                rname=sec.ref_name,
+                pos=sec.ref_start + 1,
+                mapq=0,
+                cigar=sec.cigar,
+                seq="*",
+                qual="*",
+                tags=[SamTag("NM", "i", sec.nm), SamTag("AS", "i", sec.score)],
+            ))
         rec.flag = 16 if a.is_reverse else 0
         rec.rname = a.ref_name
         rec.pos = a.ref_start + 1

@@ -624,3 +624,59 @@ class TestCliSurface:
         )
         assert r.returncode == 1
         assert "not found" in r.stderr
+
+    def test_aligner_folder_secondary_and_sec_supp(self, ref_and_reads, tmp_path):
+        """Folder input (+ -r recursion), secondary-alignment emission
+        (minimap2 --secondary/-N defaults) and the skip of input
+        secondary/supplementary records without --allow-sec-supp
+        (aligner.cpp:143,183)."""
+        ref, reads = ref_and_reads
+        sub = tmp_path / "reads" / "nested"
+        sub.mkdir(parents=True)
+        import shutil
+
+        shutil.copy(reads, sub / "reads.fastq")
+        out = tmp_path / "aln.sam"
+        r = run_cli(
+            "aligner", str(ref), str(tmp_path / "reads"), "-r",
+            "--emit-sam", "-o", str(out),
+        )
+        assert r.returncode == 0, r.stderr
+        recs = [l.split("\t") for l in out.read_text().splitlines()
+                if l and not l.startswith("@")]
+        assert recs, "no records from recursive folder input"
+        # non-recursive: nothing found at the top level
+        r = run_cli(
+            "aligner", str(ref), str(tmp_path / "reads"),
+            "--emit-sam", "-o", str(tmp_path / "none.sam"),
+        )
+        assert r.returncode == 1
+        assert "No read files" in r.stderr
+
+        # input secondary records are dropped by default, kept with the flag
+        from dorado_tpu.io.sam import BamWriter, SamHeader, SamRecord
+
+        header = SamHeader()
+        bam = tmp_path / "in.bam"
+        ref_seq = "".join(
+            l.strip() for l in open(ref).read().splitlines() if not l.startswith(">")
+        )
+        with open(bam, "wb") as fh:
+            w = BamWriter(fh, header)
+            w.write(SamRecord(qname="p1", flag=0, seq=ref_seq[100:1300],
+                              qual="I" * 1200))
+            w.write(SamRecord(qname="s1", flag=0x100, seq=ref_seq[100:1300],
+                              qual="I" * 1200))
+            w.close()
+        r = run_cli("aligner", str(ref), str(bam), "--emit-sam",
+                    "-o", str(tmp_path / "skip.sam"))
+        assert r.returncode == 0, r.stderr
+        names = {l.split("\t")[0] for l in (tmp_path / "skip.sam").read_text().splitlines()
+                 if l and not l.startswith("@")}
+        assert "s1" not in names and "p1" in names
+        r = run_cli("aligner", str(ref), str(bam), "--emit-sam", "--allow-sec-supp",
+                    "-o", str(tmp_path / "keep.sam"))
+        assert r.returncode == 0, r.stderr
+        names = {l.split("\t")[0] for l in (tmp_path / "keep.sam").read_text().splitlines()
+                 if l and not l.startswith("@")}
+        assert "s1" in names and "p1" in names
