@@ -174,6 +174,21 @@ def measure_sup_forward(rpc: float) -> float:
 
 
 def main() -> None:
+    import signal
+
+    def _watchdog(signum, frame):
+        print(
+            "bench.py watchdog: no completion within 45 min — the tunnelled "
+            "device link is likely in a degradation episode (trivial jit "
+            "calls have been observed to hang for hours). Re-run when the "
+            "link recovers.",
+            file=sys.stderr,
+        )
+        sys.exit(3)
+
+    signal.signal(signal.SIGALRM, _watchdog)
+    signal.alarm(45 * 60)
+
     from dorado_tpu.utils.jax_setup import enable_compilation_cache
 
     enable_compilation_cache()
