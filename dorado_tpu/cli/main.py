@@ -37,6 +37,9 @@ def _add_basecaller(sub: argparse._SubParsersAction) -> None:
         "path, matching the reference's extension-based selection)",
     )
     p.add_argument("--emit-moves", action="store_true")
+    p.add_argument("--emit-summary", action="store_true",
+                   help="Also write sequencing_summary.txt next to the "
+                        "output (basecall_output_args.cpp:35-37)")
     p.add_argument("-c", "--chunksize", type=int, default=None)
     p.add_argument("-b", "--batchsize", type=int, default=None,
                    help="0 = auto (memory cap + benchmark sweep, cached)")
@@ -403,6 +406,31 @@ def _run_basecaller(args: argparse.Namespace) -> int:
 
     sink = _FinishingWriter(writer) if (trim_what != "none" or aligner_mapper) else writer
 
+    summary_writer = None
+    summary_fh = None
+    if getattr(args, "emit_summary", False):
+        from dorado_tpu.io.summary import StreamingSummaryWriter, _parse_rg_run_ids
+
+        summary_dir = Path(".") if out_is_stdout else Path(args.output).parent
+        summary_fh = open(summary_dir / "sequencing_summary.txt", "w")
+        summary_writer = StreamingSummaryWriter(
+            summary_fh,
+            has_barcodes=bool(args.kit_name or args.barcode_arrangement),
+            has_alignment=aligner_mapper is not None,
+            rg_runs=_parse_rg_run_ids(header.to_text()),
+            model_stride=config.stride,
+        )
+
+        class _SummaryTee:
+            def __init__(self, inner):
+                self.inner = inner
+
+            def write(self, rec):
+                self.inner.write(rec)
+                summary_writer.write(rec)
+
+        sink = _SummaryTee(sink)
+
     t0 = time.perf_counter()
     for rec in resume_records:
         writer.write(rec)
@@ -413,6 +441,11 @@ def _run_basecaller(args: argparse.Namespace) -> int:
     writer.close()
     if not out_is_stdout:
         fh.close()
+    if summary_fh is not None:
+        summary_fh.close()
+        print(
+            f"> Sequencing summary: {summary_writer.rows} rows", file=sys.stderr
+        )
     elapsed = time.perf_counter() - t0
     if sampler is not None:
         sampler.stop()

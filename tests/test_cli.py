@@ -680,3 +680,19 @@ class TestCliSurface:
         names = {l.split("\t")[0] for l in (tmp_path / "keep.sam").read_text().splitlines()
                  if l and not l.startswith("@")}
         assert "s1" in names and "p1" in names
+
+    def test_basecaller_emit_summary(self, model_dir, tmp_path):
+        """--emit-summary writes sequencing_summary.txt next to the output
+        (basecall_output_args.cpp:35-37)."""
+        out = tmp_path / "calls.bam"
+        r = run_cli(
+            "basecaller", str(model_dir), str(POD5_DIR),
+            "-b", "4", "-c", "4000", "-o", str(out), "--emit-summary",
+        )
+        assert r.returncode == 0, r.stderr
+        summary = tmp_path / "sequencing_summary.txt"
+        assert summary.exists()
+        lines = summary.read_text().splitlines()
+        assert lines[0].startswith("input_filename\t")
+        assert "sequence_length_template" in lines[0]
+        assert len(lines) == 4  # header + 3 reads
