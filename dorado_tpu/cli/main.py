@@ -7,6 +7,7 @@ Subcommands mirror the reference binary: basecaller, download, summary, ...
 from __future__ import annotations
 
 import argparse
+import os
 import sys
 import time
 from pathlib import Path
@@ -307,6 +308,26 @@ def _run_basecaller(args: argparse.Namespace) -> int:
             aligner_bed = BedFile.load(args.bed_file)
 
     out_is_stdout = args.output == "-"
+    if not out_is_stdout and (
+        Path(args.output).is_dir() or str(args.output).endswith(("/", os.sep))
+    ):
+        # directory output (an existing dir, or a trailing slash): write
+        # calls_<timestamp>.<ext> inside, like the reference's
+        # SingleFileStructure under --output-dir (hts_writer/Structure.cpp:44-55)
+        Path(args.output).mkdir(parents=True, exist_ok=True)
+        import datetime
+
+        ts = datetime.datetime.now(datetime.timezone.utc).strftime(
+            "%Y-%m-%d_T%H-%M-%S"
+        )
+        ext = (
+            ".fastq" if args.emit_fastq
+            else ".sam" if args.emit_sam
+            else ".cram" if args.emit_cram
+            else ".bam"
+        )
+        args.output = str(Path(args.output) / f"calls_{ts}{ext}")
+        print(f"> Output: {args.output}", file=sys.stderr)
     emit_cram = args.emit_cram or (
         not out_is_stdout and str(args.output).endswith(".cram")
     )
