@@ -634,6 +634,7 @@ def _add_duplex(sub: argparse._SubParsersAction) -> None:
     p.add_argument("-r", "--recursive", action="store_true")
     p.add_argument("-o", "--output", default="-")
     p.add_argument("--emit-sam", action="store_true")
+    p.add_argument("--emit-fastq", action="store_true")
     p.add_argument("-c", "--chunksize", type=int, default=None)
     p.add_argument("-b", "--batchsize", type=int, default=None)
     p.add_argument("--decoder", choices=["beam", "viterbi", "beam-host"], default="beam")
@@ -684,7 +685,12 @@ def _run_duplex(args: argparse.Namespace) -> int:
     header = pipeline.simplex.build_header(files, cli_line=" ".join(sys.argv))
 
     out_is_stdout = args.output == "-"
-    if args.emit_sam:
+    if args.emit_fastq:
+        from dorado_tpu.io.sam import FastqWriter
+
+        fh = sys.stdout if out_is_stdout else open(args.output, "w")
+        writer = FastqWriter(fh, header)
+    elif args.emit_sam:
         fh = sys.stdout if out_is_stdout else open(args.output, "w")
         writer = SamWriter(fh, header)
     else:
