@@ -635,6 +635,10 @@ def _add_duplex(sub: argparse._SubParsersAction) -> None:
     p.add_argument("-o", "--output", default="-")
     p.add_argument("--emit-sam", action="store_true")
     p.add_argument("--emit-fastq", action="store_true")
+    p.add_argument("--modified-bases-models", default=None,
+                   help="Comma-separated modified-base model directories "
+                        "(duplex mods, ModBaseCallerNode.cpp:155-300)")
+    p.add_argument("--modified-bases-threshold", type=float, default=0.05)
     p.add_argument("-c", "--chunksize", type=int, default=None)
     p.add_argument("-b", "--batchsize", type=int, default=None)
     p.add_argument("--decoder", choices=["beam", "viterbi", "beam-host"], default="beam")
@@ -662,6 +666,22 @@ def _run_duplex(args: argparse.Namespace) -> int:
     duplex_kwargs = {}
     if args.overlap is not None:
         duplex_kwargs["overlap"] = args.overlap
+    if args.modified_bases_models:
+        from dorado_tpu.modbase.caller import ModBaseCaller
+        from dorado_tpu.modbase.config import load_modbase_config
+        from dorado_tpu.modbase.tags import modbase_threshold_uint8
+
+        mod_cfgs = [
+            load_modbase_config(p) for p in args.modified_bases_models.split(",")
+        ]
+        duplex_kwargs["modbase_caller"] = ModBaseCaller(
+            mod_cfgs,
+            canonical_stride=config.stride,
+            is_rna=config.is_rna_model,
+        )
+        duplex_kwargs["modbase_threshold"] = modbase_threshold_uint8(
+            args.modified_bases_threshold
+        )
     pipeline = DuplexPipeline(
         config,
         params,

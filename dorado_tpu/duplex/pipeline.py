@@ -48,6 +48,8 @@ class DuplexPipeline:
         decoder: str = "beam",
         compute_dtype=None,
         overlap: int | None = None,
+        modbase_caller=None,
+        modbase_threshold: int = 12,
     ):
         import jax.numpy as jnp
 
@@ -75,6 +77,8 @@ class DuplexPipeline:
         )
         self.pairer = DuplexPairer()
         self.stats = DuplexStats()
+        self.modbase_caller = modbase_caller
+        self.modbase_threshold = modbase_threshold
 
     # ------------------------------------------------------------------
 
@@ -164,6 +168,37 @@ class DuplexPipeline:
             SamTag("ch", "i", temp.channel),
             SamTag("mx", "i", temp.mux),
         ]
+        if self.modbase_caller is not None:
+            # duplex mods: realign each strand's move table onto the duplex
+            # consensus and run the mod models over the simplex signals
+            # (ModBaseCallerNode.cpp:155-300)
+            from dorado_tpu.duplex.modbase import call_duplex_mods
+            from dorado_tpu.modbase.tags import generate_modbase_tags
+
+            probs = call_duplex_mods(
+                self.modbase_caller,
+                stitched.seq,
+                self.simplex.config.stride,
+                temp.seq,
+                temp.moves,
+                temp.signal,
+                comp.seq,
+                comp.moves,
+                comp.signal,
+            )
+            if probs is not None:
+                mm, ml, mn = generate_modbase_tags(
+                    stitched.seq,
+                    probs,
+                    self.modbase_caller.info,
+                    None,
+                    self.modbase_threshold,
+                    is_duplex=True,
+                )
+                if len(ml):
+                    tags.append(SamTag("MM", "Z", mm))
+                    tags.append(SamTag("ML", "B", ml, subtype="C"))
+                    tags.append(SamTag("MN", "i", mn))
         return SamRecord(
             qname=f"{temp.read_id};{comp.read_id}",
             seq=stitched.seq,

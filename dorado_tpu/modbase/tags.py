@@ -77,8 +77,15 @@ def generate_modbase_tags(
     info: ModBaseInfo,
     motif_hits: np.ndarray | None,
     threshold: int,
+    is_duplex: bool = False,
 ) -> tuple[str, np.ndarray, int]:
-    """Returns (MM string, ML uint8 array, MN value)."""
+    """Returns (MM string, ML uint8 array, MN value).
+
+    Duplex reads carry both strands' calls: the include mask combines the
+    forward mask with the reverse-complement orientation's (computed over
+    the RC sequence and row-reversed probabilities), and after the '+'
+    channels every modification is emitted again on the complement cardinal
+    with a '-' strand flag (messages.cpp:223-330)."""
     num_channels = info.num_states
     if len(seq) * num_channels != base_mod_probs.size:
         raise ValueError("base_mod_probs size mismatch")
@@ -89,39 +96,63 @@ def generate_modbase_tags(
     # mask and the update_mask skip still apply (ModBaseContext.cpp:115-119)
     base_has_context = [c is not None and len(c[0]) > 1 for c in contexts]
 
-    if motif_hits is not None and len(motif_hits):
+    if not is_duplex and motif_hits is not None and len(motif_hits):
         mask = np.asarray(motif_hits, dtype=bool).copy()
     else:
+        # duplex doesn't retain the simplex motif-hit mask (messages.cpp:202)
         mask = _sequence_mask(seq, contexts)
     _update_mask(mask, seq, info.alphabet, base_mod_probs, threshold, contexts)
+
+    if is_duplex:
+        from dorado_tpu.utils import reverse_complement
+
+        rc_seq = reverse_complement(seq)
+        mask_rc = _sequence_mask(rc_seq, contexts)
+        probs_rev = np.ascontiguousarray(
+            base_mod_probs.reshape(-1, num_channels)[::-1]
+        ).reshape(-1)
+        _update_mask(mask_rc, rc_seq, info.alphabet, probs_rev, threshold, contexts)
+        mask = mask | mask_rc[::-1]
 
     seq_arr = np.frombuffer(seq.encode(), dtype=np.uint8)
     probs2d = base_mod_probs.reshape(-1, num_channels)
 
-    mm_parts = []
+    def channel_parts(strand: str) -> list[str]:
+        parts = []
+        current_cardinal = None
+        for ch, code in enumerate(info.alphabet):
+            if code in CARDINAL_BASES:
+                current_cardinal = code
+                continue
+            cardinal = (
+                current_cardinal if strand == "+" else _COMPLEMENT[current_cardinal]
+            )
+            head = f"{cardinal}{strand}{code}"
+            head += "?" if base_has_context[_BASE_TO_INT[current_cardinal]] else "."
+            positions = np.flatnonzero(seq_arr == ord(cardinal))
+            included = mask[positions]
+            # delta-encoded skipped-base counts over the cardinal positions
+            deltas = []
+            skipped = 0
+            for pos, inc in zip(positions, included):
+                if inc:
+                    deltas.append(skipped)
+                    skipped = 0
+                    ml.append(int(probs2d[pos, ch]))
+                else:
+                    skipped += 1
+            parts.append(head + "".join(f",{d}" for d in deltas) + ";")
+        return parts
+
     ml: list[int] = []
-    current_cardinal = None
-    for ch, code in enumerate(info.alphabet):
-        if code in CARDINAL_BASES:
-            current_cardinal = code
-            continue
-        head = f"{current_cardinal}+{code}"
-        head += "?" if base_has_context[_BASE_TO_INT[current_cardinal]] else "."
-        positions = np.flatnonzero(seq_arr == ord(current_cardinal))
-        included = mask[positions]
-        # delta-encoded skipped-base counts over the cardinal-base positions
-        deltas = []
-        skipped = 0
-        for pos, inc in zip(positions, included):
-            if inc:
-                deltas.append(skipped)
-                skipped = 0
-                ml.append(int(probs2d[pos, ch]))
-            else:
-                skipped += 1
-        mm_parts.append(head + "".join(f",{d}" for d in deltas) + ";")
+    mm_parts = channel_parts("+")
+    if is_duplex:
+        mm_parts += channel_parts("-")
 
     return "".join(mm_parts), np.asarray(ml, dtype=np.uint8), len(seq)
+
+
+_COMPLEMENT = {"A": "T", "C": "G", "G": "C", "T": "A"}
 
 
 def modbase_threshold_uint8(threshold_frac: float) -> int:
