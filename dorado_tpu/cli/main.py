@@ -1693,6 +1693,18 @@ def _add_correct(sub: argparse._SubParsersAction) -> None:
                    help="Skip-set file of already-corrected read names; "
                         "resumes after the furthest skipped read in input "
                         "order (cli_lib/correct.cpp find_furthest_skipped_read)")
+    p.add_argument("-i", "--index-size", default="8G",
+                   help="Bases per index block; decrease to shard runs "
+                        "(correct.cpp:125-129)")
+    p.add_argument("--compute-num-blocks", action="store_true",
+                   help="Print the number of index blocks and exit")
+    p.add_argument("--run-block-id", type=int, default=None,
+                   help="Correct only the targets of this index block")
+    p.add_argument("--to-paf", action="store_true",
+                   help="Write all-vs-all overlaps as PAF and skip consensus")
+    p.add_argument("-p", "--from-paf", default=None,
+                   help="Consume overlaps from a PAF (from --to-paf) instead "
+                        "of computing them")
     _add_common_opts(p)
     p.set_defaults(func=_run_correct)
 
@@ -1714,6 +1726,16 @@ def _load_skip_set(path: str) -> set[str]:
             if line:
                 out.add(line)
     return out
+
+
+def _parse_size(s: str) -> int:
+    """'8G'/'100000'-style sizes (utils::arg_parse::parse_string_to_size)."""
+    s = str(s).strip().upper()
+    mult = 1
+    if s and s[-1] in "KMG":
+        mult = {"K": 10**3, "M": 10**6, "G": 10**9}[s[-1]]
+        s = s[:-1]
+    return int(float(s) * mult)
 
 
 def _run_correct(args: argparse.Namespace) -> int:
@@ -1745,6 +1767,34 @@ def _run_correct(args: argparse.Namespace) -> int:
                 file=sys.stderr,
             )
             targets = {name for name, _ in reads[furthest + 1 :]}
+    # index blocks: reads accumulate until the block reaches --index-size
+    # bases (mm2 batch semantics; correct.cpp:125-129, cram-correct-blocks)
+    index_size = _parse_size(args.index_size)
+    blocks: list[list[str]] = []
+    cur: list[str] = []
+    cum = 0
+    for name, seq in reads:
+        cur.append(name)
+        cum += len(seq)
+        if cum >= index_size:
+            blocks.append(cur)
+            cur, cum = [], 0
+    if cur:
+        blocks.append(cur)
+    if args.compute_num_blocks:
+        print(len(blocks))
+        return 0
+    if args.run_block_id is not None:
+        if not (0 <= args.run_block_id < max(len(blocks), 1)):
+            print(
+                f"> --run-block-id {args.run_block_id} out of range "
+                f"(0..{len(blocks) - 1})",
+                file=sys.stderr,
+            )
+            return 1
+        block = set(blocks[args.run_block_id])
+        targets = block if targets is None else (targets & block)
+
     nn_scorer = None
     if args.model_path:
         from dorado_tpu.correct.nn_model import TorchScriptScorer
@@ -1754,7 +1804,39 @@ def _run_correct(args: argparse.Namespace) -> int:
     corrector = ReadCorrector(
         min_depth=args.min_depth, use_nn=args.nn, nn_scorer=nn_scorer
     )
-    corrected = corrector.correct(reads, targets=targets)
+
+    overlap_records = None
+    if args.from_paf:
+        overlap_records = []
+        with open(args.from_paf) as pf:
+            for line in pf:
+                f = line.rstrip("\n").split("\t")
+                if len(f) < 12:
+                    continue
+                cigar = ""
+                for tag in f[12:]:
+                    if tag.startswith("cg:Z:"):
+                        cigar = tag[5:]
+                if not cigar:
+                    continue
+                overlap_records.append((
+                    f[0], int(f[1]), int(f[2]), int(f[3]), f[4],
+                    f[5], int(f[6]), int(f[7]), int(f[8]),
+                    int(f[9]), int(f[10]), int(f[11]), cigar,
+                ))
+        print(f"> Loaded {len(overlap_records)} PAF overlaps", file=sys.stderr)
+    if args.to_paf:
+        recs = corrector.compute_overlap_records(reads, targets)
+        fh = sys.stdout if args.output == "-" else open(args.output, "w")
+        for r in recs:
+            fh.write("\t".join(str(v) for v in r[:12]) + f"\tcg:Z:{r[12]}\n")
+        if args.output != "-":
+            fh.close()
+        print(f"> Wrote {len(recs)} PAF overlaps", file=sys.stderr)
+        return 0
+    corrected = corrector.correct(
+        reads, targets=targets, overlap_records=overlap_records
+    )
 
     fh = sys.stdout if args.output == "-" else open(args.output, "w")
     for name, seq in corrected:

@@ -53,30 +53,70 @@ class ReadCorrector:
             self.nn_params = init_correction_model(jax.random.PRNGKey(0))
         self.stats = CorrectStats()
 
-    def correct(
-        self,
-        reads: list[tuple[str, str]],
-        targets: set[str] | None = None,
-    ) -> list[tuple[str, str]]:
-        """[(name, seq)] -> [(name, corrected seq)] via all-vs-all overlap
-        consensus. ``targets`` restricts which reads are corrected/emitted
-        (resume support) while every read still serves as overlap evidence —
-        matching the reference, where resumed runs re-align against the full
-        index but only emit the remaining targets."""
-        index = ReferenceIndex.build([(n, s) for n, s in reads])
+    def compute_overlap_records(
+        self, reads: list[tuple[str, str]], target_names: set[str] | None = None
+    ) -> list[tuple]:
+        """All-vs-all overlaps as PAF-shaped tuples (qname, qlen, qstart,
+        qend, strand, tname, tlen, tstart, tend, nmatch, alnlen, mapq,
+        cigar) — the --to-paf payload (correct.cpp CorrectionPafWriterNode).
+        ``target_names`` restricts the index to one block's targets
+        (--run-block-id: mm2 builds the index per block and streams every
+        read as a query)."""
+        idx_reads = [
+            (n, s) for n, s in reads
+            if target_names is None or n in target_names
+        ]
+        index = ReferenceIndex.build(idx_reads)
         mapper = Mapper(index, max_alignments=self.max_overlaps_per_read)
-
-        # all-vs-all: map every read against the read index
-        overlaps: dict[str, list[AlignedRead]] = {n: [] for n, _ in reads}
+        lens = {n: len(s) for n, s in reads}
+        recs = []
         for name, seq in reads:
             for a in mapper.map(seq):
                 if a.ref_name == name:
                     continue  # self-hit
-                oriented = reverse_complement(seq) if a.is_reverse else seq
-                overlaps[a.ref_name].append(
-                    AlignedRead(a.ref_start, a.cigar, oriented, a.is_reverse)
-                )
-                self.stats.overlaps += 1
+                span = a.ref_end - a.ref_start
+                recs.append((
+                    name, len(seq), a.q_start, a.q_end,
+                    "-" if a.is_reverse else "+",
+                    a.ref_name, lens[a.ref_name], a.ref_start, a.ref_end,
+                    max(span - a.nm, 0), span, a.mapq, a.cigar,
+                ))
+        return recs
+
+    def overlaps_from_records(
+        self, reads: list[tuple[str, str]], recs: list[tuple]
+    ) -> dict[str, list[AlignedRead]]:
+        """PAF-shaped tuples -> per-target AlignedRead evidence lists."""
+        seqs = dict(reads)
+        overlaps: dict[str, list[AlignedRead]] = {n: [] for n, _ in reads}
+        for r in recs:
+            qname, strand, tname, tstart, cigar = r[0], r[4], r[5], r[7], r[12]
+            seq = seqs.get(qname)
+            if seq is None or tname not in overlaps:
+                continue
+            oriented = reverse_complement(seq) if strand == "-" else seq
+            overlaps[tname].append(
+                AlignedRead(int(tstart), cigar, oriented, strand == "-")
+            )
+            self.stats.overlaps += 1
+        return overlaps
+
+    def correct(
+        self,
+        reads: list[tuple[str, str]],
+        targets: set[str] | None = None,
+        overlap_records: list[tuple] | None = None,
+    ) -> list[tuple[str, str]]:
+        """[(name, seq)] -> [(name, corrected seq)] via all-vs-all overlap
+        consensus. ``targets`` restricts which reads are corrected/emitted
+        (resume / --run-block-id) while every read still serves as overlap
+        evidence — matching the reference, where resumed runs re-align
+        against the full index but only emit the remaining targets.
+        ``overlap_records`` short-circuits the overlap computation
+        (--from-paf)."""
+        if overlap_records is None:
+            overlap_records = self.compute_overlap_records(reads, targets)
+        overlaps = self.overlaps_from_records(reads, overlap_records)
 
         out = []
         for name, seq in reads:

@@ -696,3 +696,51 @@ class TestCliSurface:
         assert lines[0].startswith("input_filename\t")
         assert "sequence_length_template" in lines[0]
         assert len(lines) == 4  # header + 3 reads
+
+    def test_correct_blocks_and_paf(self, tmp_path):
+        """--compute-num-blocks / --run-block-id shard by --index-size
+        (cram-correct-blocks-01.t semantics: blocks close when cumulative
+        bases reach the limit), and --to-paf/--from-paf round-trip the
+        overlap stage."""
+        rng = np.random.RandomState(4)
+        base = "".join(rng.choice(list("ACGT"), 3000))
+        src = tmp_path / "r.fastq"
+        with open(src, "w") as f:
+            for i in range(6):
+                s = base[i * 300 : i * 300 + 1500]
+                f.write(f"@r{i}\n{s}\n+\n{'I' * len(s)}\n")
+
+        r = run_cli("correct", str(src), "--compute-num-blocks")
+        assert r.returncode == 0, r.stderr
+        assert r.stdout.strip() == "1"  # 9 kb input, default 8G index
+
+        r = run_cli("correct", str(src), "--compute-num-blocks",
+                    "--index-size", "3000")
+        assert r.returncode == 0, r.stderr
+        assert r.stdout.strip() == "3"  # 2 reads (3 kb) per block
+
+        # block 1 corrects only r2/r3
+        r = run_cli("correct", str(src), "--index-size", "3000",
+                    "--run-block-id", "1", "-o", str(tmp_path / "b1.fasta"))
+        assert r.returncode == 0, r.stderr
+        names = [l[1:] for l in (tmp_path / "b1.fasta").read_text().splitlines()
+                 if l.startswith(">")]
+        assert names == ["r2", "r3"]
+        r = run_cli("correct", str(src), "--index-size", "3000",
+                    "--run-block-id", "9", "-o", str(tmp_path / "nope.fasta"))
+        assert r.returncode == 1 and "out of range" in r.stderr
+
+        # PAF round trip: --to-paf then --from-paf reproduces the direct run
+        r = run_cli("correct", str(src), "--to-paf", "-o", str(tmp_path / "ovl.paf"))
+        assert r.returncode == 0, r.stderr
+        paf = (tmp_path / "ovl.paf").read_text().splitlines()
+        assert paf and all(len(l.split("\t")) >= 13 for l in paf)
+        assert all("cg:Z:" in l for l in paf)
+        r = run_cli("correct", str(src), "--from-paf", str(tmp_path / "ovl.paf"),
+                    "-o", str(tmp_path / "c_paf.fasta"))
+        assert r.returncode == 0, r.stderr
+        r = run_cli("correct", str(src), "-o", str(tmp_path / "c_direct.fasta"))
+        assert r.returncode == 0, r.stderr
+        assert (tmp_path / "c_paf.fasta").read_text() == (
+            tmp_path / "c_direct.fasta"
+        ).read_text()
