@@ -1301,6 +1301,11 @@ def _add_polish(sub: argparse._SubParsersAction) -> None:
     p.add_argument("--no-fill-gaps", action="store_true",
                    help="Do not fill uncovered spans from the draft; emit one "
                         "record per covered run (polish.cpp:213)")
+    p.add_argument("--vcf", action="store_true",
+                   help="Emit variants as VCF instead of polished FASTA "
+                        "(polish.cpp:173)")
+    p.add_argument("--gvcf", action="store_true",
+                   help="Emit gVCF instead of polished FASTA (polish.cpp:177)")
     p.add_argument("--RG", dest="rg", default="",
                    help="Read group to select (polish.cpp:222)")
     p.add_argument("--ignore-read-groups", action="store_true",
@@ -1314,6 +1319,18 @@ def _run_polish(args: argparse.Namespace) -> int:
 
     from dorado_tpu.secondary.model import init_gru_params
     from dorado_tpu.secondary.polish import PolishPipeline
+
+    if args.vcf or args.gvcf:
+        # polish --vcf/--gvcf is the variant-calling flow with the polish
+        # model (cram-polish-17-vcf.t); delegate with variant defaults
+        for name, default in (
+            ("unphased", False),
+            ("ambig_ref", False),
+            ("pass_qual_filter", 3.0),
+        ):
+            if not hasattr(args, name):
+                setattr(args, name, default)
+        return _run_variant(args)
 
     forward = None
     feature_kind = "counts"

@@ -744,3 +744,17 @@ class TestCliSurface:
         assert (tmp_path / "c_paf.fasta").read_text() == (
             tmp_path / "c_direct.fasta"
         ).read_text()
+
+    def test_polish_vcf_mode(self, ref_and_reads, tmp_path):
+        """polish --vcf/--gvcf emits variants instead of FASTA
+        (cram-polish-17-vcf.t)."""
+        ref, reads = ref_and_reads
+        r = run_cli("polish", str(reads), str(ref), "--vcf",
+                    "-o", str(tmp_path / "p.vcf"))
+        assert r.returncode == 0, r.stderr
+        assert (tmp_path / "p.vcf").read_text().startswith("##fileformat=VCF")
+        r = run_cli("polish", str(reads), str(ref), "--gvcf",
+                    "-o", str(tmp_path / "p.gvcf"))
+        assert r.returncode == 0, r.stderr
+        body = (tmp_path / "p.gvcf").read_text()
+        assert body.startswith("##fileformat=VCF")
