@@ -1327,6 +1327,8 @@ def _run_polish(args: argparse.Namespace) -> int:
             ("unphased", False),
             ("ambig_ref", False),
             ("pass_qual_filter", 3.0),
+            ("candidates", None),
+            ("variant_flanking_bases", 100),
         ):
             if not hasattr(args, name):
                 setattr(args, name, default)
@@ -1455,6 +1457,11 @@ def _add_variant(sub: argparse._SubParsersAction) -> None:
                    help="Read group to select (bam_info.cpp:115 semantics)")
     p.add_argument("--ignore-read-groups", action="store_true",
                    help="Process all read groups")
+    p.add_argument("--candidates", default=None,
+                   help="TSV of candidate variant sites (contig, pos) to "
+                        "seed inference windows (variant.cpp:300)")
+    p.add_argument("--variant-flanking-bases", type=int, default=100,
+                   help="Window flank around each candidate site")
     _add_common_opts(p)
     p.set_defaults(func=_run_variant)
 
@@ -1509,6 +1516,36 @@ def _run_variant(args: argparse.Namespace) -> int:
 
     contigs = read_fasta(args.draft)
     regions = _parse_regions(args.regions)
+
+    # --candidates: merged flanked intervals around candidate sites replace
+    # the whole-contig sweep (variant.cpp:300,482 candidate-seeded windows)
+    candidate_spans = None
+    if args.candidates:
+        flank = max(0, args.variant_flanking_bases)
+        per: dict[str, list[int]] = {}
+        with open(args.candidates) as cf:
+            for line in cf:
+                f = line.split()
+                if len(f) >= 2:
+                    per.setdefault(f[0], []).append(int(f[1]))
+        candidate_spans = {}
+        for ctg, poss in per.items():
+            poss.sort()
+            spans: list[tuple[int, int]] = []
+            for p in poss:
+                lo, hi = max(0, p - flank), p + flank + 1
+                if spans and lo <= spans[-1][1]:
+                    spans[-1] = (spans[-1][0], max(spans[-1][1], hi))
+                else:
+                    spans.append((lo, hi))
+            candidate_spans[ctg] = spans
+        print(
+            f"> Candidate windows: "
+            f"{sum(len(s) for s in candidate_spans.values())} spans over "
+            f"{len(candidate_spans)} contig(s)",
+            file=sys.stderr,
+        )
+    processed_spans: list[tuple[str, int, int]] = []
     fh = sys.stdout if args.output == "-" else open(args.output, "w")
     writer = VcfWriter(fh, [(n, len(s)) for n, s in contigs], gvcf=args.gvcf)
     n_var = 0
@@ -1523,11 +1560,25 @@ def _run_variant(args: argparse.Namespace) -> int:
         # span a window boundary are called once, by the window that owns
         # their start position (trim_vc_samples / join_samples semantics,
         # polish_impl.cpp:2388-2392)
+        if candidate_spans is not None:
+            sub_spans = [
+                (max(r_start, lo), min(r_end, hi))
+                for lo, hi in candidate_spans.get(name, [])
+                if lo < r_end and hi > r_start
+            ]
+        else:
+            sub_spans = [(r_start, r_end)]
+        processed_spans.extend((name, lo, hi) for lo, hi in sub_spans)
         margin = min(1000, args.window_len // 2)
-        for start in range(r_start, r_end, args.window_len):
-            end = min(r_end, start + args.window_len)
-            w_start = max(r_start, start - margin)
-            w_end = min(r_end, end + margin)
+        win_iter = [
+            (start, lo, hi)
+            for lo, hi in sub_spans
+            for start in range(lo, hi, args.window_len)
+        ]
+        for start, s_lo, s_hi in win_iter:
+            end = min(s_hi, start + args.window_len)
+            w_start = max(s_lo, start - margin)
+            w_end = min(s_hi, end + margin)
             window_reads = [r for r in reads if r.ref_start < w_end]
             pile = build_pileup(window_reads, w_start, w_end)
             if pile.depth.max(initial=0.0) == 0:
@@ -1562,6 +1613,14 @@ def _run_variant(args: argparse.Namespace) -> int:
                     n_var += 1
     if args.output != "-":
         fh.close()
+    if candidate_spans is not None and args.output != "-":
+        # the regions actually processed, next to the VCF (the reference
+        # writes processed_regions.bed into its output dir)
+        bed_path = Path(args.output).with_suffix(".processed_regions.bed")
+        with open(bed_path, "w") as bf:
+            for ctg, lo, hi in processed_spans:
+                bf.write(f"{ctg}\t{lo}\t{hi}\n")
+        print(f"> Processed regions -> {bed_path}", file=sys.stderr)
     print(f"> Called {n_var} variant(s)", file=sys.stderr)
     return 0
 

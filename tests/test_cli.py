@@ -758,3 +758,23 @@ class TestCliSurface:
         assert r.returncode == 0, r.stderr
         body = (tmp_path / "p.gvcf").read_text()
         assert body.startswith("##fileformat=VCF")
+
+    def test_variant_candidates(self, ref_and_reads, tmp_path):
+        """--candidates seeds inference windows around listed sites and a
+        processed_regions bed records the spans (variant.cpp:300,482)."""
+        ref, reads = ref_and_reads
+        cand = tmp_path / "cand.tsv"
+        cand.write_text("ctg\t2000\t2\nctg\t2050\t1\nctg\t9000\t3\n")
+        out = tmp_path / "v.vcf"
+        r = run_cli(
+            "variant", str(reads), str(ref), "-o", str(out),
+            "--candidates", str(cand), "--variant-flanking-bases", "100",
+        )
+        assert r.returncode == 0, r.stderr
+        assert "Candidate windows: 2 spans" in r.stderr  # 2000/2050 merge
+        bed = tmp_path / "v.processed_regions.bed"
+        assert bed.exists()
+        lines = [l.split("\t") for l in bed.read_text().splitlines()]
+        assert [(l[0], int(l[1]), int(l[2])) for l in lines] == [
+            ("ctg", 1900, 2151), ("ctg", 8900, 9101),
+        ]
