@@ -873,6 +873,8 @@ def _add_demux(sub: argparse._SubParsersAction) -> None:
     p.add_argument("--sort-bam", action="store_true")
     p.add_argument("--max-reads", type=int, default=None)
     p.add_argument("--read-ids", default=None)
+    p.add_argument("-r", "--recursive", action="store_true",
+                   help="Search the reads folder recursively")
     _add_common_opts(p)
     p.set_defaults(func=_run_demux)
 
@@ -885,7 +887,26 @@ def _run_demux(args: argparse.Namespace) -> int:
     from dorado_tpu.io.bam_reader import read_records
     from dorado_tpu.io.sam import BamWriter, SamHeader, SamTag
 
-    header_text, records = read_records(args.reads)
+    reads_path = Path(args.reads)
+    if reads_path.is_dir():
+        # folder input scans for BAM/SAM/FASTQ (recursively with -r),
+        # like the reference's HtsReader loop (demux.cpp reads folder)
+        pattern = "**/*" if args.recursive else "*"
+        read_files = sorted(
+            p for p in reads_path.glob(pattern)
+            if p.suffix in (".bam", ".sam", ".fastq", ".fq")
+        )
+        if not read_files:
+            print(f"> No read files found in {args.reads}", file=sys.stderr)
+            return 1
+        header_text = ""
+        records = []
+        for rf in read_files:
+            ht, recs = read_records(str(rf))
+            header_text = header_text or ht
+            records.extend(recs)
+    else:
+        header_text, records = read_records(args.reads)
     sample_sheet = None
     if args.sample_sheet:
         from dorado_tpu.utils.sample_sheet import SampleSheet
