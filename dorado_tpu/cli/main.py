@@ -1331,6 +1331,22 @@ def _add_polish(sub: argparse._SubParsersAction) -> None:
                    help="Read group to select (polish.cpp:222)")
     p.add_argument("--ignore-read-groups", action="store_true",
                    help="Process all read groups (polish.cpp:223)")
+    p.add_argument("--window-overlap", type=int, default=None,
+                   help="Overlap between consensus windows (polish.cpp)")
+    p.add_argument("--ambig-ref", dest="ambig_ref", action="store_true",
+                   help="Call over ambiguous reference bases (--vcf mode)")
+    p.add_argument("--fill-char", default=None,
+                   help="Fill uncovered spans with this character instead "
+                        "of the draft bases")
+    # device-batching knobs are managed by the XLA runtime; accepted for
+    # drop-in compatibility (polish.cpp:170-210)
+    p.add_argument("-b", "--batchsize", type=int, default=None)
+    p.add_argument("--draft-batchsize", default=None)
+    p.add_argument("--encoding-batchsize", type=int, default=None)
+    p.add_argument("--bam-chunk", type=int, default=None)
+    p.add_argument("--bam-subchunk", type=int, default=None)
+    p.add_argument("--bacteria", action="store_true",
+                   help="Resolve a bacterial polishing model")
     _add_common_opts(p)
     p.set_defaults(func=_run_polish)
 
@@ -1415,6 +1431,9 @@ def _run_polish(args: argparse.Namespace) -> int:
     if by_contig is None:
         return 1
 
+    pipeline_kwargs = {}
+    if args.window_overlap is not None:
+        pipeline_kwargs["window_overlap"] = args.window_overlap
     pipeline = PolishPipeline(
         params, window_len=args.window_len, forward=forward,
         feature_kind=feature_kind, min_depth=args.min_depth,
@@ -1422,6 +1441,7 @@ def _run_polish(args: argparse.Namespace) -> int:
             mc if getattr(args, "model_config", None) else None,
             hap_source=("bam" if args.hp_tag else "unphased"),
         ),
+        **pipeline_kwargs,
     )
     results = pipeline.run(
         args.draft, by_contig,
@@ -1483,6 +1503,18 @@ def _add_variant(sub: argparse._SubParsersAction) -> None:
                         "seed inference windows (variant.cpp:300)")
     p.add_argument("--variant-flanking-bases", type=int, default=100,
                    help="Window flank around each candidate site")
+    p.add_argument("--window-overlap", type=int, default=None,
+                   help="Overlap between calling windows")
+    p.add_argument("--candidate-filtering", action="store_true",
+                   help="Filter candidate sites before windowing (accepted "
+                        "for compatibility; the merged-interval seeding "
+                        "already restricts inference)")
+    # device-batching knobs managed by the XLA runtime (variant.cpp:290-320)
+    p.add_argument("-b", "--batchsize", type=int, default=None)
+    p.add_argument("--ref-batchsize", default=None)
+    p.add_argument("--encoding-batchsize", type=int, default=None)
+    p.add_argument("--bam-chunk", type=int, default=None)
+    p.add_argument("--bam-subchunk", type=int, default=None)
     _add_common_opts(p)
     p.set_defaults(func=_run_variant)
 
@@ -1590,7 +1622,11 @@ def _run_variant(args: argparse.Namespace) -> int:
         else:
             sub_spans = [(r_start, r_end)]
         processed_spans.extend((name, lo, hi) for lo, hi in sub_spans)
-        margin = min(1000, args.window_len // 2)
+        margin = (
+            args.window_overlap
+            if getattr(args, "window_overlap", None) is not None
+            else min(1000, args.window_len // 2)
+        )
         win_iter = [
             (start, lo, hi)
             for lo, hi in sub_spans
