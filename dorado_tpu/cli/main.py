@@ -1434,6 +1434,8 @@ def _run_polish(args: argparse.Namespace) -> int:
     pipeline_kwargs = {}
     if args.window_overlap is not None:
         pipeline_kwargs["window_overlap"] = args.window_overlap
+    if args.fill_char:
+        pipeline_kwargs["fill_char"] = args.fill_char[0]
     pipeline = PolishPipeline(
         params, window_len=args.window_len, forward=forward,
         feature_kind=feature_kind, min_depth=args.min_depth,

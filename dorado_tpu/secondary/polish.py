@@ -87,6 +87,7 @@ class PolishPipeline:
         forward=None,
         feature_kind: str = "counts",
         min_depth: int = 0,
+        fill_char: str | None = None,
         feature_opts: dict | None = None,
     ):
         """feature_kind "counts" feeds the medaka counts pileup (GRUModel);
@@ -103,6 +104,9 @@ class PolishPipeline:
         self.batch_size = batch_size
         self.feature_kind = feature_kind
         self.min_depth = min_depth
+        # --fill-char: uncovered/low-depth positions take this character
+        # instead of the draft base (polish.cpp --fill-char)
+        self.fill_char = fill_char
         # read-level encoder options (dwell/haplotag/snp_qv columns +
         # haplotag source), see cli _feature_opts / encoder_factory.cpp
         self.feature_opts = feature_opts or {}
@@ -166,7 +170,9 @@ class PolishPipeline:
                 majors = pile.positions_major[klo:khi]
                 minors = pile.positions_minor[klo:khi]
                 kept = [
-                    draft[m] for m, mi in zip(majors, minors) if mi == 0
+                    (self.fill_char or draft[m])
+                    for m, mi in zip(majors, minors)
+                    if mi == 0
                 ]
                 pieces.append("".join(kept))
                 quals.append("!" * len(kept))
@@ -201,7 +207,9 @@ class PolishPipeline:
             for i in range(klo, khi):
                 if pile.depth[i] < depth_floor:
                     if pile.positions_minor[i] == 0:
-                        out.append(draft[pile.positions_major[i]])
+                        out.append(
+                            self.fill_char or draft[pile.positions_major[i]]
+                        )
                         qual_out.append("!")
                     continue
                 c = int(classes[i])
