@@ -1347,6 +1347,12 @@ def _add_polish(sub: argparse._SubParsersAction) -> None:
     p.add_argument("--bam-subchunk", type=int, default=None)
     p.add_argument("--bacteria", action="store_true",
                    help="Resolve a bacterial polishing model")
+    p.add_argument("-m", "--model", default=None,
+                   help="Polish model: 'auto' (resolve from the BAM's "
+                        "basecall_model header), a model name, or a "
+                        "directory (polish.cpp:515-640)")
+    p.add_argument("--models-directory", default=".",
+                   help="Where resolved models are found/downloaded")
     _add_common_opts(p)
     p.set_defaults(func=_run_polish)
 
@@ -1373,7 +1379,27 @@ def _run_polish(args: argparse.Namespace) -> int:
 
     forward = None
     feature_kind = "counts"
-    if getattr(args, "model_config", None):
+    if getattr(args, "model", None):
+        from dorado_tpu.io.bam_reader import read_records
+        from dorado_tpu.secondary.model_resolver import (
+            load_resolved_model,
+            resolve_model_dir,
+        )
+
+        header_text = ""
+        if args.model == "auto" and not args.reads.endswith((".fastq", ".fq")):
+            header_text = read_records(args.reads)[0]
+        try:
+            mdir = resolve_model_dir(
+                args.model, header_text, bacteria=args.bacteria,
+                models_directory=args.models_directory,
+            )
+            params, forward, mc, feature_kind = load_resolved_model(mdir)
+        except (ValueError, RuntimeError) as e:
+            print(f"> {e}", file=sys.stderr)
+            return 1
+        print(f"> Model: {mdir.name} ({feature_kind})", file=sys.stderr)
+    elif getattr(args, "model_config", None):
         from dorado_tpu.secondary.architectures import model_factory, parse_model_config
 
         mc = parse_model_config(args.model_config)
@@ -1440,7 +1466,9 @@ def _run_polish(args: argparse.Namespace) -> int:
         params, window_len=args.window_len, forward=forward,
         feature_kind=feature_kind, min_depth=args.min_depth,
         feature_opts=_feature_opts(
-            mc if getattr(args, "model_config", None) else None,
+            mc
+            if (getattr(args, "model_config", None) or getattr(args, "model", None))
+            else None,
             hap_source=("bam" if args.hp_tag else "unphased"),
         ),
         **pipeline_kwargs,
@@ -1507,6 +1535,10 @@ def _add_variant(sub: argparse._SubParsersAction) -> None:
                    help="Window flank around each candidate site")
     p.add_argument("--window-overlap", type=int, default=None,
                    help="Overlap between calling windows")
+    p.add_argument("-m", "--model", default=None,
+                   help="Variant model: 'auto', a model name, or a directory")
+    p.add_argument("--models-directory", default=".",
+                   help="Where resolved models are found/downloaded")
     p.add_argument("--candidate-filtering", action="store_true",
                    help="Filter candidate sites before windowing (accepted "
                         "for compatibility; the merged-interval seeding "
@@ -1535,7 +1567,27 @@ def _run_variant(args: argparse.Namespace) -> int:
         return 1
     feature_kind = "counts"
     mc = None
-    if getattr(args, "model_config", None):
+    if getattr(args, "model", None):
+        from dorado_tpu.io.bam_reader import read_records
+        from dorado_tpu.secondary.model_resolver import (
+            load_resolved_model,
+            resolve_model_dir,
+        )
+
+        header_text = ""
+        if args.model == "auto" and not args.reads.endswith((".fastq", ".fq")):
+            header_text = read_records(args.reads)[0]
+        try:
+            mdir = resolve_model_dir(
+                args.model, header_text,
+                models_directory=args.models_directory,
+            )
+            params, fn, mc, feature_kind = load_resolved_model(mdir)
+        except (ValueError, RuntimeError) as e:
+            print(f"> {e}", file=sys.stderr)
+            return 1
+        print(f"> Model: {mdir.name} ({feature_kind})", file=sys.stderr)
+    elif getattr(args, "model_config", None):
         from dorado_tpu.secondary.architectures import model_factory, parse_model_config
 
         mc = parse_model_config(args.model_config)

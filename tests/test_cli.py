@@ -778,3 +778,58 @@ class TestCliSurface:
         assert [(l[0], int(l[1]), int(l[2])) for l in lines] == [
             ("ctg", 1900, 2151), ("ctg", 8900, 9101),
         ]
+
+    def test_polish_model_resolution(self, ref_and_reads, tmp_path):
+        """-m/--model: directory with reference-schema config.toml +
+        weights.pt (torch state dict) loads into the jax zoo; 'auto'
+        resolves via the BAM header LUT (polish.cpp:515-640)."""
+        import torch
+
+        from dorado_tpu.secondary.model_resolver import (
+            basecaller_model_from_header,
+            resolve_polish_model_name,
+        )
+
+        ref, reads = ref_and_reads
+        mdir = tmp_path / "gru_model"
+        mdir.mkdir()
+        (mdir / "config.toml").write_text(
+            "[model]\n"
+            'type = "GRUModel"\n'
+            "[model.kwargs]\n"
+            "num_features = 10\nnum_classes = 5\ngru_size = 16\n"
+            "n_layers = 2\nbidirectional = true\n"
+        )
+        state = {}
+        for layer in range(2):
+            in_f = 10 if layer == 0 else 32
+            for sfx in ("", "_reverse"):
+                state[f"gru.weight_ih_l{layer}{sfx}"] = torch.randn(48, in_f)
+                state[f"gru.weight_hh_l{layer}{sfx}"] = torch.randn(48, 16)
+                state[f"gru.bias_ih_l{layer}{sfx}"] = torch.randn(48)
+                state[f"gru.bias_hh_l{layer}{sfx}"] = torch.randn(48)
+        state["linear.weight"] = torch.randn(5, 32)
+        state["linear.bias"] = torch.randn(5)
+        torch.save(state, mdir / "weights.pt")
+
+        r = run_cli(
+            "polish", str(reads), str(ref), "-m", str(mdir),
+            "-o", str(tmp_path / "m.fasta"), "--window-len", "8000",
+        )
+        assert r.returncode == 0, r.stderr
+        assert "gru_model (counts)" in r.stderr
+        assert (tmp_path / "m.fasta").read_text().startswith(">")
+
+        # auto-resolution LUT + header parsing (resolution only; weights
+        # cannot be downloaded here)
+        hdr = ("@RG\tID:x_dna_r10.4.1_e8.2_400bps_hac@v5.0.0\t"
+               "DS:basecall_model=dna_r10.4.1_e8.2_400bps_hac@v5.0.0")
+        assert basecaller_model_from_header(hdr) == (
+            "dna_r10.4.1_e8.2_400bps_hac@v5.0.0"
+        )
+        assert resolve_polish_model_name(
+            "dna_r10.4.1_e8.2_400bps_hac@v5.0.0"
+        ) == "dna_r10.4.1_e8.2_400bps_hac@v5.0.0_polish_rl"
+        assert resolve_polish_model_name(
+            "dna_r10.4.1_e8.2_400bps_hac@v4.3.0", bacteria=True
+        ) == "dna_r10.4.1_e8.2_400bps_polish_bacterial_methylation_v5.0.0"
