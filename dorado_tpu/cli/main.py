@@ -1653,6 +1653,9 @@ def _run_variant(args: argparse.Namespace) -> int:
             file=sys.stderr,
         )
     processed_spans: list[tuple[str, int, int]] = []
+    if args.output != "-" and Path(args.output).is_dir():
+        # reference -o is an output dir holding variants.vcf (+ bed)
+        args.output = str(Path(args.output) / "variants.vcf")
     fh = sys.stdout if args.output == "-" else open(args.output, "w")
     writer = VcfWriter(fh, [(n, len(s)) for n, s in contigs], gvcf=args.gvcf)
     n_var = 0
