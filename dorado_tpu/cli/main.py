@@ -894,7 +894,7 @@ def _run_demux(args: argparse.Namespace) -> int:
         pattern = "**/*" if args.recursive else "*"
         read_files = sorted(
             p for p in reads_path.glob(pattern)
-            if p.suffix in (".bam", ".sam", ".fastq", ".fq")
+            if p.suffix in (".bam", ".sam", ".cram", ".fastq", ".fq")
         )
         if not read_files:
             print(f"> No read files found in {args.reads}", file=sys.stderr)
@@ -1183,7 +1183,7 @@ def _run_aligner(args: argparse.Namespace) -> int:
         pattern = "**/*" if args.recursive else "*"
         read_files = sorted(
             p for p in reads_path.glob(pattern)
-            if p.suffix in (".bam", ".sam", ".fastq", ".fq")
+            if p.suffix in (".bam", ".sam", ".cram", ".fastq", ".fq")
         )
         if not read_files:
             print(f"> No read files found in {args.reads}", file=sys.stderr)

@@ -287,10 +287,16 @@ def iter_sam(path: Path | str) -> Iterator[SamRecord]:
 
 
 def read_records(path: Path | str) -> tuple[str, list[SamRecord]]:
-    """(header text, records) for a BAM or SAM path."""
+    """(header text, records) for a BAM, SAM or CRAM path."""
     path = Path(path)
     with open(path, "rb") as fh:
-        magic = fh.read(2)
+        magic = fh.read(4)
+    if magic == b"CRAM":
+        from dorado_tpu.io.cram import CramReader
+
+        rd = CramReader(path)
+        return rd.header_text, list(rd.records())
+    magic = magic[:2]
     if magic == b"\x1f\x8b":
         bam = read_bam(path)
         return bam.header_text, bam.records

@@ -209,3 +209,21 @@ class TestReferenceFixtures:
             assert st["eof"], f"no EOF container in {p}"
             assert st["records"] > 0
             assert st["containers"] >= 1
+
+
+def test_read_records_dispatches_cram(tmp_path):
+    """read_records (summary/aligner/demux input path) auto-detects CRAM by
+    magic, like htslib's format sniffing."""
+    from dorado_tpu.io.bam_reader import read_records
+    from dorado_tpu.io.cram import CramWriter
+    from dorado_tpu.io.sam import SamHeader, SamRecord
+
+    header = SamHeader()
+    path = tmp_path / "x.cram"
+    with open(path, "wb") as fh:
+        w = CramWriter(fh, header)
+        w.write(SamRecord(qname="r0", flag=4, seq="ACGTACGT", qual="IIIIIIII"))
+        w.close()
+    text, records = read_records(path)
+    assert len(records) == 1 and records[0].qname == "r0"
+    assert records[0].seq == "ACGTACGT"
