@@ -1895,6 +1895,12 @@ def _add_correct(sub: argparse._SubParsersAction) -> None:
     p.add_argument("-p", "--from-paf", default=None,
                    help="Consume overlaps from a PAF (from --to-paf) instead "
                         "of computing them")
+    p.add_argument("--kmer-size", type=int, default=15,
+                   help="Overlap-index k-mer size (correct.cpp:65)")
+    p.add_argument("--ovl-window-size", type=int, default=10,
+                   help="Overlap-index minimizer window (correct.cpp:66)")
+    p.add_argument("--min-chain-score", type=int, default=None,
+                   help="Minimum overlap chain score (correct.cpp:67)")
     _add_common_opts(p)
     p.set_defaults(func=_run_correct)
 
@@ -1992,7 +1998,9 @@ def _run_correct(args: argparse.Namespace) -> int:
         nn_scorer = TorchScriptScorer(args.model_path)
         print(f"> Loaded TorchScript scorer from {args.model_path}", file=sys.stderr)
     corrector = ReadCorrector(
-        min_depth=args.min_depth, use_nn=args.nn, nn_scorer=nn_scorer
+        min_depth=args.min_depth, use_nn=args.nn, nn_scorer=nn_scorer,
+        kmer_size=args.kmer_size, ovl_window_size=args.ovl_window_size,
+        min_chain_score=args.min_chain_score,
     )
 
     overlap_records = None

@@ -33,13 +33,20 @@ class CorrectStats:
 class ReadCorrector:
     def __init__(self, min_depth: int = 2, min_overlap_reads: int = 2,
                  max_overlaps_per_read: int = 20, use_nn: bool = False,
-                 nn_params=None, nn_scorer=None, window_size: int = 4096):
+                 nn_params=None, nn_scorer=None, window_size: int = 4096,
+                 kmer_size: int = 15, ovl_window_size: int = 10,
+                 min_chain_score: int | None = None):
         """use_nn enables the HERRO-style path: window feature matrices +
         NN predictions at supported positions + majority decode elsewhere
         (correct/features.py, correct/nn_model.py). The default is the
         pileup-vote consensus (equivalent to the decode fallback)."""
         self.min_depth = min_depth
         self.min_overlap_reads = min_overlap_reads
+        # overlap-index tuning (correct.cpp:65-67 --kmer-size /
+        # --ovl-window-size / --min-chain-score); defaults match our mapper
+        self.kmer_size = kmer_size
+        self.ovl_window_size = ovl_window_size
+        self.min_chain_score = min_chain_score
         self.max_overlaps_per_read = max_overlaps_per_read
         self.use_nn = use_nn or nn_scorer is not None
         self.nn_params = nn_params
@@ -66,8 +73,15 @@ class ReadCorrector:
             (n, s) for n, s in reads
             if target_names is None or n in target_names
         ]
-        index = ReferenceIndex.build(idx_reads)
-        mapper = Mapper(index, max_alignments=self.max_overlaps_per_read)
+        index = ReferenceIndex.build(
+            idx_reads, k=self.kmer_size, w=self.ovl_window_size
+        )
+        mapper_kwargs = {}
+        if self.min_chain_score is not None:
+            mapper_kwargs["min_chain_score"] = self.min_chain_score
+        mapper = Mapper(
+            index, max_alignments=self.max_overlaps_per_read, **mapper_kwargs
+        )
         lens = {n: len(s) for n, s in reads}
         recs = []
         for name, seq in reads:
