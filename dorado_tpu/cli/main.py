@@ -105,6 +105,11 @@ def _add_basecaller(sub: argparse._SubParsersAction) -> None:
     p.add_argument("--run-for", type=int, default=None,
                    help="Stop basecalling after N seconds (BenchmarkTimer)")
     p.add_argument("-v", "--verbose", action="count", default=0)
+    p.add_argument("-x", "--device", default="auto",
+                   help="Compute device: 'auto', 'tpu', or 'cpu' (the "
+                        "reference's -x cuda:all analogue)")
+    p.add_argument("-t", "--threads", type=int, default=0,
+                   help="Host worker threads (0 = auto)")
     p.add_argument("--dump-stats-file", default=None)
     p.add_argument("--dump-stats-filter", default="")
     p.add_argument("--profile-dir", default=None, help="Write a JAX profiler trace")
@@ -619,6 +624,9 @@ def _add_common_opts(p: argparse.ArgumentParser) -> None:
     p.add_argument("-v", "--verbose", action="count", default=0)
     p.add_argument("-t", "--threads", type=int, default=0,
                    help="Host worker threads (0 = auto)")
+    p.add_argument("-x", "--device", default="auto",
+                   help="Compute device: 'auto', 'tpu', or 'cpu' (the "
+                        "reference's cuda:all analogue; sets JAX_PLATFORMS)")
 
 
 def _add_duplex(sub: argparse._SubParsersAction) -> None:
@@ -2133,6 +2141,13 @@ def main(argv: list[str] | None = None) -> int:
         from dorado_tpu.utils.dev_utils import set_dev_opts
 
         set_dev_opts(args.devopts)
+    device = getattr(args, "device", "auto")
+    if device and device != "auto":
+        # -x/--device: the reference's device selector (-x cuda:all); here
+        # it picks the JAX platform, with 'cpu' forcing the host backend
+        platform = "cpu" if device.startswith("cpu") else device
+        os.environ["JAX_PLATFORMS"] = platform
+        jax.config.update("jax_platforms", platform)
     return args.func(args)
 
 
