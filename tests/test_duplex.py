@@ -459,3 +459,16 @@ class TestDuplexModbase:
         assert len(ml) == mm.count(",")
         # complement-strand channels carry the G-position probabilities
         assert any(seg.startswith("G-") for seg in mm.split(";") if seg)
+
+    def test_realign_moves_insertion_resync(self):
+        """Hand-verified insertion walk (sequence_utils.cpp:383-437): an
+        inserted duplex base takes over the lead signal block of the next
+        simplex base (the post-insertion cursor resync)."""
+        from dorado_tpu.duplex.modbase import realign_moves
+
+        # simplex ACGT, 2 signal blocks per base
+        moves = np.array([1, 0, 1, 0, 1, 0, 1, 0], np.uint8)
+        off, tstart, new = realign_moves("ACGT", "ACAGT", moves)
+        assert (off, tstart) == (0, 0)
+        np.testing.assert_array_equal(new, [1, 0, 1, 0, 1, 1, 1, 0])
+        assert int(new.sum()) == 5  # every duplex base got a block
