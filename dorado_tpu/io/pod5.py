@@ -267,12 +267,33 @@ class Pod5File:
 
 
 def find_pod5_files(path: Path | str, recursive: bool = False) -> list[Path]:
-    """Directory scan for .pod5 inputs (DataLoader.cpp:36-67 semantics)."""
+    """Directory scan for .pod5 inputs (DataLoader.cpp:36-67 semantics,
+    including the FAST5 rejection with a conversion pointer)."""
     path = Path(path)
     if path.is_file():
         return [path]
-    pattern = "**/*.pod5" if recursive else "*.pod5"
-    return sorted(path.glob(pattern))
+    pattern = "**/*" if recursive else "*"
+    pod5s, fast5_found = [], False
+    for p in path.glob(pattern):
+        if p.suffix == ".pod5":
+            pod5s.append(p)
+        elif p.suffix == ".fast5":
+            fast5_found = True
+    if fast5_found and not pod5s:
+        raise RuntimeError(
+            "FAST5 files are not supported. Please convert your dataset to "
+            "POD5: https://pod5-file-format.readthedocs.io/en/latest/docs/"
+            "tools.html#pod5-convert-fast5"
+        )
+    if fast5_found:
+        import sys
+
+        print(
+            "> WARNING: FAST5 files found; they will be ignored "
+            "(POD5 only).",
+            file=sys.stderr,
+        )
+    return sorted(pod5s)
 
 
 def iter_reads(

@@ -118,3 +118,15 @@ def test_svb16_native_matches_numpy_fuzz():
                 b = _svb16_decode_numpy(enc, n, zigzag=zigzag, delta=delta)
                 np.testing.assert_array_equal(a, b)
                 np.testing.assert_array_equal(a, sig)
+
+
+def test_fast5_rejected_with_pointer(tmp_path):
+    """FAST5-only inputs error with the conversion pointer
+    (DataLoader.cpp:50-58); mixed inputs warn and proceed."""
+    import pytest as _pytest
+
+    from dorado_tpu.io.pod5 import find_pod5_files
+
+    (tmp_path / "old.fast5").write_bytes(b"\x89HDF")
+    with _pytest.raises(RuntimeError, match="convert your dataset to POD5"):
+        find_pod5_files(tmp_path)
