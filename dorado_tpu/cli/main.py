@@ -643,9 +643,14 @@ def _add_duplex(sub: argparse._SubParsersAction) -> None:
     p.add_argument("-o", "--output", default="-")
     p.add_argument("--emit-sam", action="store_true")
     p.add_argument("--emit-fastq", action="store_true")
+    p.add_argument("--modified-bases", nargs="+", default=None,
+                   help="Modification names resolved against the simplex "
+                        "model (e.g. 5mCG_5hmCG)")
     p.add_argument("--modified-bases-models", default=None,
                    help="Comma-separated modified-base model directories "
                         "(duplex mods, ModBaseCallerNode.cpp:155-300)")
+    p.add_argument("--models-directory", default=".",
+                   help="Where resolved mod models are found/downloaded")
     p.add_argument("--modified-bases-threshold", type=float, default=0.05)
     p.add_argument("-c", "--chunksize", type=int, default=None)
     p.add_argument("-b", "--batchsize", type=int, default=None)
@@ -674,14 +679,49 @@ def _run_duplex(args: argparse.Namespace) -> int:
     duplex_kwargs = {}
     if args.overlap is not None:
         duplex_kwargs["overlap"] = args.overlap
-    if args.modified_bases_models:
+    if args.modified_bases_models or args.modified_bases:
         from dorado_tpu.modbase.caller import ModBaseCaller
         from dorado_tpu.modbase.config import load_modbase_config
         from dorado_tpu.modbase.tags import modbase_threshold_uint8
 
-        mod_cfgs = [
-            load_modbase_config(p) for p in args.modified_bases_models.split(",")
-        ]
+        if args.modified_bases_models:
+            mod_cfgs = [
+                load_modbase_config(p)
+                for p in args.modified_bases_models.split(",")
+            ]
+        else:
+            # resolve named mods against the simplex model (the basecaller's
+            # --modified-bases path, models/model_complex.cpp grammar)
+            from dorado_tpu.models.downloader import download_model_info
+            from dorado_tpu.models.registry import (
+                get_model_info,
+                resolve_mods_models,
+            )
+
+            simplex_info = get_model_info(Path(args.model).name)
+            if simplex_info is None:
+                print(
+                    f"> Cannot resolve --modified-bases against unknown "
+                    f"simplex model {Path(args.model).name!r}; use "
+                    "--modified-bases-models",
+                    file=sys.stderr,
+                )
+                return 1
+            mods = resolve_mods_models(
+                simplex_info, [(m, None) for m in args.modified_bases]
+            )
+            mod_cfgs = []
+            for info in mods:
+                local = Path(args.models_directory) / info.name
+                if not local.is_dir():
+                    try:
+                        local = download_model_info(
+                            info, Path(args.models_directory)
+                        )
+                    except RuntimeError as e:
+                        print(f"> {e}", file=sys.stderr)
+                        return 1
+                mod_cfgs.append(load_modbase_config(local))
         duplex_kwargs["modbase_caller"] = ModBaseCaller(
             mod_cfgs,
             canonical_stride=config.stride,
