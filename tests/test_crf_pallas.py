@@ -153,3 +153,29 @@ def test_fused_forward_decode_block_layout():
     np.testing.assert_allclose(
         np.asarray(final), np.asarray(fin_ref), rtol=1e-5, atol=1e-5
     )
+
+
+@pytest.mark.parametrize("t,n", [(7, 2), (14, 6), (34, 12)])
+def test_fused_decode_shape_sweep(t, n):
+    """Odd batch/time shapes tile correctly through the fused kernel and
+    the Pallas traceback (bn/bt pickers must divide, not assume powers)."""
+    from dorado_tpu.ops.crf_pallas import (
+        fused_forward_decode_pallas,
+        viterbi_traceback_pallas,
+    )
+    from dorado_tpu.ops.crf_scan import viterbi_path
+
+    scores = _scores(t, n, 1024, seed=t * 100 + n)
+    beta = backward_scores(scores, 2.0)
+    alpha = forward_scores(scores, 2.0)
+    posts_ref = np.asarray(jax.nn.softmax(alpha + beta, axis=-1))[1:]
+    st_ref, mv_ref = (np.asarray(x) for x in viterbi_path(scores, 2.0))
+
+    posts, choices, final = fused_forward_decode_pallas(
+        scores, beta, 2.0, interpret=True
+    )
+    assert np.abs(np.asarray(posts) - posts_ref).max() < 1e-3
+    last = jnp.argmax(final, axis=-1).astype(jnp.int32)
+    st, mv = viterbi_traceback_pallas(choices, last, interpret=True)
+    np.testing.assert_array_equal(np.asarray(st), st_ref)
+    np.testing.assert_array_equal(np.asarray(mv), mv_ref)
