@@ -113,7 +113,7 @@ def call_duplex_mods(
     complement_seq: str,
     complement_moves: np.ndarray,
     complement_signal: np.ndarray,
-) -> np.ndarray | None:
+) -> np.ndarray:
     """Modified-base probabilities for a duplex read, both directions.
 
     All three complement inputs are in the complement call's ORIGINAL
@@ -121,19 +121,22 @@ def call_duplex_mods(
     duplex onto the original complement call (the reference stores the
     stereo inputs RC'd/flipped and un-does both for the mod call,
     ModBaseCallerNode.cpp:188-208). Returns uint8
-    [len(duplex_seq) * num_states], canonically initialised, or None if
-    neither direction produced an alignment.
+    [len(duplex_seq) * num_states], canonically initialised — the reference
+    attaches base_mod_probs to every duplex read once mod models are
+    loaded, even when a direction fails to realign or no motifs occur.
+    Both directions' chunks run as ONE batched device call
+    (caller.call_reads cross-read batching).
     """
     num_states = caller.info.num_states
     n = len(duplex_seq)
-    probs = np.zeros(n * num_states, np.uint8)
     from dorado_tpu.modbase.encode import sequence_to_ints
 
-    int_seq = sequence_to_ints(duplex_seq)
-    pos_off = np.array([caller.offsets[b] for b in int_seq])
-    probs[np.arange(n) * num_states + pos_off] = 1
+    probs = caller.init_canonical_probs(sequence_to_ints(duplex_seq))
+    if n == 0:
+        return probs
 
-    any_called = False
+    prepared = []  # (PreparedRead-args consumed below)
+    metas = []  # (is_template, t_start)
     for is_template in (True, False):
         if is_template:
             simplex_seq = template_seq
@@ -165,19 +168,21 @@ def call_duplex_mods(
         if num_bases == 0:
             continue
         new_seq = duplex_dir[t_start : t_start + num_bases]
+        prepared.append(caller.prepare_read(new_seq, new_moves, window))
+        metas.append((is_template, t_start))
 
-        result = caller.call_read(new_seq, new_moves, window)
-        hits = np.flatnonzero(result.motif_hits)
-        for p in hits:
-            if is_template:
-                dpos = t_start + int(p)
-            else:
-                dpos = n - (int(p) + t_start + 1)
-            if 0 <= dpos < n:
-                probs[dpos * num_states : (dpos + 1) * num_states] = (
-                    result.base_mod_probs[
-                        int(p) * num_states : (int(p) + 1) * num_states
-                    ]
-                )
-                any_called = True
-    return probs if any_called else None
+    if prepared:
+        results = caller.call_reads(prepared)
+        for result, (is_template, t_start) in zip(results, metas):
+            for p in np.flatnonzero(result.motif_hits):
+                if is_template:
+                    dpos = t_start + int(p)
+                else:
+                    dpos = n - (int(p) + t_start + 1)
+                if 0 <= dpos < n:
+                    probs[dpos * num_states : (dpos + 1) * num_states] = (
+                        result.base_mod_probs[
+                            int(p) * num_states : (int(p) + 1) * num_states
+                        ]
+                    )
+    return probs

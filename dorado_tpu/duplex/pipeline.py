@@ -186,19 +186,19 @@ class DuplexPipeline:
                 comp.moves,
                 comp.signal,
             )
-            if probs is not None:
-                mm, ml, mn = generate_modbase_tags(
-                    stitched.seq,
-                    probs,
-                    self.modbase_caller.info,
-                    None,
-                    self.modbase_threshold,
-                    is_duplex=True,
-                )
-                if len(ml):
-                    tags.append(SamTag("MM", "Z", mm))
-                    tags.append(SamTag("ML", "B", ml, subtype="C"))
-                    tags.append(SamTag("MN", "i", mn))
+            mm, ml, mn = generate_modbase_tags(
+                stitched.seq,
+                probs,
+                self.modbase_caller.info,
+                None,
+                self.modbase_threshold,
+                is_duplex=True,
+            )
+            # the reference tags every duplex read once mod models are
+            # loaded, even with zero called sites (empty channel lists)
+            tags.append(SamTag("MM", "Z", mm))
+            tags.append(SamTag("ML", "B", ml, subtype="C"))
+            tags.append(SamTag("MN", "i", mn))
         return SamRecord(
             qname=f"{temp.read_id};{comp.read_id}",
             seq=stitched.seq,

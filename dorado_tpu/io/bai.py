@@ -47,7 +47,11 @@ def reg2bin(beg: int, end: int) -> int:
 
 
 def reg2bins(beg: int, end: int) -> list[int]:
-    """All bins that may contain records overlapping [beg, end)."""
+    """All bins that may contain records overlapping [beg, end). Inputs are
+    clamped to the 512 Mbp BAI address space like htslib, so an 'until end
+    of contig' sentinel never reaches the metadata pseudo-bin id range."""
+    beg = max(0, min(beg, _MAX_POS - 1))
+    end = max(beg + 1, min(end, _MAX_POS))
     end -= 1
     bins = [0]
     for shift, offset in (
@@ -148,7 +152,8 @@ def read_bai(fh: BinaryIO):
     """Parse a .bai into ({tid: {bin: [(beg, end), ...]}}, {tid: [ioffsets]},
     n_no_coor) — used by region queries and the round-trip tests."""
     data = fh.read()
-    assert data[:4] == b"BAI\x01", "not a BAI file"
+    if data[:4] != b"BAI\x01":
+        raise ValueError("not a BAI file")
     off = 4
     (n_ref,) = struct.unpack_from("<i", data, off)
     off += 4
@@ -180,12 +185,16 @@ def read_bai(fh: BinaryIO):
 def query_chunks(bins: dict[int, list[tuple[int, int]]], linear: list[int],
                  beg: int, end: int) -> list[tuple[int, int]]:
     """Candidate voffset chunks for records overlapping [beg, end)."""
+    beg = max(0, min(beg, _MAX_POS - 1))
+    end = max(beg + 1, min(end, _MAX_POS))
     min_off = 0
     w = beg >> 14
     if linear and w < len(linear):
         min_off = linear[w]
     out = []
     for b in reg2bins(beg, end):
+        if b >= _BIN_LIMIT:  # metadata pseudo-bin carries counts, not chunks
+            continue
         for c0, c1 in bins.get(b, ()):
             if c1 > min_off:
                 out.append((max(c0, min_off), c1))

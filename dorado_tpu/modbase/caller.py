@@ -228,6 +228,20 @@ class ModBaseCaller:
         """seq/moves from basecall, signal = scaled (model-input) signal."""
         return self.call_reads([self.prepare_read(seq, moves, signal)])[0]
 
+    def init_canonical_probs(self, int_seq: np.ndarray) -> np.ndarray:
+        """uint8 [len * num_states] one-hot canonical initialisation
+        (ModBaseChunkCallerNode.cpp:310-327) — shared by the simplex prep
+        and the duplex merge so the convention cannot diverge."""
+        num_states = self.info.num_states
+        n = len(int_seq)
+        probs = np.zeros(n * num_states, dtype=np.uint8)
+        if n:
+            pos_off = np.array(
+                [self.offsets[b] for b in int_seq], dtype=np.int64
+            )
+            probs[np.arange(n, dtype=np.int64) * num_states + pos_off] = 1
+        return probs
+
     def prepare_read(
         self, seq: str, moves: np.ndarray, signal: np.ndarray
     ) -> PreparedRead:
@@ -242,12 +256,7 @@ class ModBaseCaller:
         num_states = self.info.num_states
         seq_len = len(seq)
         int_seq = sequence_to_ints(seq)
-
-        # one-hot canonical initialisation (ModBaseChunkCallerNode.cpp:310-327)
-        probs = np.zeros(seq_len * num_states, dtype=np.uint8)
-        base_ids = int_seq
-        pos_off = np.array([self.offsets[b] for b in base_ids])
-        probs[np.arange(seq_len) * num_states + pos_off] = 1
+        probs = self.init_canonical_probs(int_seq)
 
         motif_hits_mask = np.zeros(seq_len, dtype=bool)
         models: list[_PreparedModel] = []

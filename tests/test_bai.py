@@ -86,3 +86,30 @@ def test_reg2bin_spec_values():
     # reg2bins always includes every ancestor of the leaf
     bins = reg2bins(123_456, 123_457)
     assert 0 in bins and reg2bin(123_456, 123_457) in bins
+
+
+def test_query_chunks_clamps_past_512mb(tmp_path):
+    """An 'until end of contig' sentinel beyond the 512 Mbp BAI address
+    space must not pull in the metadata pseudo-bin (htslib clamps too)."""
+    import random
+
+    from dorado_tpu.io.sam import SamHeader, SamRecord
+    from dorado_tpu.io.sorted_bam import SortedBamWriter
+
+    header = SamHeader()
+    header.references = [("chr1", 1_000_000)]
+    bam = tmp_path / "c.bam"
+    bai = tmp_path / "c.bam.bai"
+    with open(bam, "wb") as fh:
+        w = SortedBamWriter(fh, header, index_path=bai)
+        w.write(SamRecord(qname="m0", flag=0, rname="chr1", pos=901_000,
+                          mapq=30, cigar="100M", seq="A" * 100,
+                          qual="I" * 100))
+        # a placed-unmapped record populates the metadata counts
+        w.write(SamRecord(qname="u0", flag=4, rname="chr1", pos=901_500,
+                          mapq=0, cigar="*", seq="A", qual="I"))
+        w.close()
+    # no crash from the metadata pseudo-bin, and placed-unmapped records
+    # come back like samtools view does
+    got = {r.qname for r in fetch_region(bam, "chr1", 900_000, 2**31)}
+    assert got == {"m0", "u0"}

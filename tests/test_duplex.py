@@ -441,7 +441,6 @@ class TestDuplexModbase:
             seq, t_moves, t_sig,
             reverse_complement(seq), c_moves, c_sig,
         )
-        assert probs is not None
         num_states = caller.info.num_states
         p2 = probs.reshape(-1, num_states)
         c_pos = [i for i in range(n_bases - 1) if seq[i : i + 2] == "CG"]
