@@ -378,13 +378,12 @@ class BasecallRunner:
                 # recursion, the posterior rows, and the Viterbi choices —
                 # the separate kernels each re-stream the full score tensor
                 from dorado_tpu.ops.crf_pallas import (
-                    fused_forward_decode_pallas,
+                    fused_viterbi_decode,
                     viterbi_traceback_pallas,
                 )
 
-                beta = bwd_scan(scores_tnc, blank)
-                t_posts, choices, final = fused_forward_decode_pallas(
-                    scores_tnc, beta, blank
+                t_posts, choices, final = fused_viterbi_decode(
+                    scores_tnc, blank
                 )
                 last_state = jnp.argmax(final, axis=-1).astype(jnp.int32)
                 states, moves = viterbi_traceback_pallas(choices, last_state)
@@ -444,12 +443,22 @@ class BasecallRunner:
         if mesh is not None:
             from jax.sharding import NamedSharding, PartitionSpec as P
 
-            batch_sharding = NamedSharding(mesh, P("data"))
+            # shard_map, not bare in_shardings: the program contains Mosaic
+            # pallas_call kernels that GSPMD cannot partition — under
+            # shard_map each chip runs the FULL program on its batch shard
+            # (chunks are independent, so this is exactly data parallelism)
+            from jax.experimental.shard_map import shard_map
+
             replicated = NamedSharding(mesh, P())
             self.params = jax.device_put(self.params, replicated)
-            self._device_fn = jax.jit(
-                base_fn, in_shardings=(None, batch_sharding)
+            sharded = shard_map(
+                base_fn,
+                mesh=mesh,
+                in_specs=(P(), P("data")),
+                out_specs=P("data"),
+                check_rep=False,
             )
+            self._device_fn = jax.jit(sharded)
         else:
             self._device_fn = base_fn
 

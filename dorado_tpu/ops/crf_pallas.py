@@ -23,8 +23,9 @@ MXU matmuls):
   the row max underflow to -inf, harmless downstream; see crf_scan.py).
 - VMEM budget: P+G (2*S*C*4 bytes) + double-buffered in/out blocks must
   fit ~16 MB/core, which holds for state_len 4 (hac/fast, C=1024). The
-  transformer-sup space (C=4096) exceeds it; callers fall back to the XLA
-  scan there.
+  transformer-sup space (C=4096) exceeds the dense matrices, so sup routes
+  through the block-layout kernels below (pre-permuted scores + the
+  [S/4, S] repeat matrix); see supports_pallas_decode for the envelope.
 """
 
 from __future__ import annotations
@@ -50,10 +51,8 @@ def _pick_bn(n: int) -> int:
     return bn
 
 
-def _pick_bt(t_len: int, bn: int, c: int) -> int:
-    """Largest divisor of t_len whose double-buffered blocks fit VMEM."""
-    s = c // 4
-    per_t = bn * c * 4 * 2 + bn * s * 4 * 2  # in + out, double-buffered
+def _pick_bt_for(t_len: int, per_t: int) -> int:
+    """Largest divisor of t_len whose per-timestep block bytes fit VMEM."""
     best = 1
     for bt in range(1, t_len + 1):
         if t_len % bt:
@@ -62,6 +61,12 @@ def _pick_bt(t_len: int, bn: int, c: int) -> int:
             break
         best = bt
     return best
+
+
+def _pick_bt(t_len: int, bn: int, c: int) -> int:
+    """Largest divisor of t_len whose double-buffered blocks fit VMEM."""
+    s = c // 4
+    return _pick_bt_for(t_len, bn * c * 4 * 2 + bn * s * 4 * 2)
 
 
 @functools.lru_cache(maxsize=None)
@@ -289,12 +294,13 @@ def viterbi_path_pallas(scores_tnc, fixed_stay_score: float, interpret: bool = F
 
 def supports_pallas_decode(num_transitions: int) -> bool:
     """Dense [S, C] lattice matrices (small spaces) or the block-layout
-    kernels (sup's state_len 5, S=1024) — both stream through VMEM."""
+    kernels (sup's state_len 5, S=1024) — both stream through VMEM. S=1024
+    is the cap: the traceback's [S, 4S] predecessor matrix grows as 4*S^2
+    (8 MB bf16 at S=1024) and larger spaces would blow VMEM."""
     s = num_transitions // 4
     if 2 * s * num_transitions * 4 <= 4 * 1024 * 1024:
         return True
-    # block layout needs only the [S/4, S] repeat matrix
-    return s <= 4096
+    return s <= 1024
 
 
 def _use_block_layout(c: int) -> bool:
@@ -377,10 +383,15 @@ def _lse_bwd_blk_kernel(sc_ref, r4t_ref, out_ref, carry_ref, *, bt, stay_factor,
 
 
 @functools.partial(
-    jax.jit, static_argnames=("stay_score", "reverse", "interpret")
+    jax.jit, static_argnames=("stay_score", "reverse", "interpret", "prepermuted")
 )
-def _lse_scan_pallas_blk(scores_tnc, stay_score: float, reverse: bool, interpret: bool):
-    """LSE scan over *raw-layout* scores via the block-layout kernel."""
+def _lse_scan_pallas_blk(
+    scores_tnc, stay_score: float, reverse: bool, interpret: bool,
+    prepermuted: bool = False,
+):
+    """LSE scan via the block-layout kernel; ``prepermuted`` skips the
+    raw->block gather when the caller already holds block-layout scores
+    (one shared permute instead of one per kernel on the sup path)."""
     t_len, n, c = scores_tnc.shape
     s = c // 4
     s4 = s // 4
@@ -389,8 +400,11 @@ def _lse_scan_pallas_blk(scores_tnc, stay_score: float, reverse: bool, interpret
     n_tiles, t_tiles = n // bn, t_len // bt
     stay_factor = float(np.exp(stay_score))
 
-    perm = jnp.asarray(block_permutation(s))
-    blk = scores_tnc.astype(jnp.float32)[..., perm]
+    if prepermuted:
+        blk = scores_tnc.astype(jnp.float32)
+    else:
+        perm = jnp.asarray(block_permutation(s))
+        blk = scores_tnc.astype(jnp.float32)[..., perm]
 
     r4, r4t = _repeat_matrices(s)
     mat = r4t if reverse else r4
@@ -585,14 +599,7 @@ def fused_forward_decode_pallas(
     s = c // 4
     bn = _pick_bn(n)
     # fused blocks are wider (scores in + beta in + posts/choices out)
-    per_t = bn * (c * 4 * 2 + s * 4 * 2 + s * 4 * 2 + s * 2)
-    bt = 1
-    for cand in range(1, t_len + 1):
-        if t_len % cand:
-            continue
-        if cand * per_t > _VMEM_BUDGET:
-            break
-        bt = cand
+    bt = _pick_bt_for(t_len, bn * (c * 4 * 2 + s * 4 * 2 + s * 4 * 2 + s * 2))
     n_tiles, t_tiles = n // bn, t_len // bt
     stay_factor = float(np.exp(stay_score))
 
@@ -670,14 +677,7 @@ def viterbi_traceback_pallas(choices, last_state, interpret: bool = False):
     matmul, with the choice stream DMA'd in reverse."""
     t_len, n, s = choices.shape
     bn = _pick_bn(n)
-    per_t = bn * s * (1 + 4 + 1) * 2
-    bt = 1
-    for cand in range(1, t_len + 1):
-        if t_len % cand:
-            continue
-        if cand * per_t > _VMEM_BUDGET:
-            break
-        bt = cand
+    bt = _pick_bt_for(t_len, bn * s * (1 + 4 + 1) * 2)
     n_tiles, t_tiles = n // bn, t_len // bt
 
     preds = _pred_matrices(s)
@@ -812,25 +812,26 @@ def _fused_fwd_blk_kernel(
     final_ref[:] = vc
 
 
-@functools.partial(jax.jit, static_argnames=("stay_score", "interpret"))
-def _fused_forward_decode_blk(scores_tnc, beta_full, stay_score: float, interpret: bool):
+@functools.partial(
+    jax.jit, static_argnames=("stay_score", "interpret", "prepermuted")
+)
+def _fused_forward_decode_blk(
+    scores_tnc, beta_full, stay_score: float, interpret: bool,
+    prepermuted: bool = False,
+):
     t_len, n, c = scores_tnc.shape
     s = c // 4
     s4 = s // 4
     bn = _pick_bn(n)
-    per_t = bn * (c * 4 * 2 + s * 4 * 2 + s * 4 * 2 + s * 2)
-    bt = 1
-    for cand in range(1, t_len + 1):
-        if t_len % cand:
-            continue
-        if cand * per_t > _VMEM_BUDGET:
-            break
-        bt = cand
+    bt = _pick_bt_for(t_len, bn * (c * 4 * 2 + s * 4 * 2 + s * 4 * 2 + s * 2))
     n_tiles, t_tiles = n // bn, t_len // bt
     stay_factor = float(np.exp(stay_score))
 
-    perm = jnp.asarray(block_permutation(s))
-    blk = scores_tnc.astype(jnp.float32)[..., perm]
+    if prepermuted:
+        blk = scores_tnc.astype(jnp.float32)
+    else:
+        perm = jnp.asarray(block_permutation(s))
+        blk = scores_tnc.astype(jnp.float32)[..., perm]
     r4, _ = _repeat_matrices(s)
     kernel = functools.partial(
         _fused_fwd_blk_kernel,
@@ -872,13 +873,27 @@ def _fused_forward_decode_blk(scores_tnc, beta_full, stay_score: float, interpre
 
 
 def supports_fused_decode(num_transitions: int) -> bool:
-    """Dense spaces keep the [S, C] lattice + selection matrices resident;
-    larger spaces (sup state_len 5) route through the block-layout fused
-    kernel, which only needs the [S/4, S] repeat matrix."""
-    s = num_transitions // 4
-    if 2 * s * num_transitions * 4 <= 4 * 1024 * 1024:
-        return True
-    return s <= 4096
+    """Same capacity envelope as the scan kernels (one predicate so the
+    runner's scan and fused routing can never disagree)."""
+    return supports_pallas_decode(num_transitions)
+
+
+def fused_viterbi_decode(scores_tnc, stay_score: float, interpret: bool = False):
+    """(posts rows 1..T, choices, final) for the viterbi fast path: the
+    backward LSE scan + the fused forward kernel, with the sup block-layout
+    permutation done ONCE and shared by both kernels (each permute is a
+    full HBM round-trip of the largest tensor in the step)."""
+    stay = float(stay_score)
+    if _use_block_layout(scores_tnc.shape[-1]):
+        s = scores_tnc.shape[-1] // 4
+        perm = jnp.asarray(block_permutation(s))
+        blk = scores_tnc.astype(jnp.float32)[..., perm]
+        beta = _lse_scan_pallas_blk(blk, stay, True, interpret, prepermuted=True)
+        return _fused_forward_decode_blk(
+            blk, beta, stay, interpret, prepermuted=True
+        )
+    beta = _lse_scan_pallas(scores_tnc, stay, True, interpret)
+    return fused_forward_decode_pallas(scores_tnc, beta, stay, interpret)
 
 
 def use_pallas_decode() -> bool:
