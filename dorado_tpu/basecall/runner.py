@@ -285,8 +285,10 @@ class BasecallRunner:
             qual = jnp.where(
                 jax.nn.one_hot(base, 4, dtype=bool), block_prob[..., None], qual
             )
-            # bf16 halves the device->host transfer; probabilities only feed
-            # the phred calc, well within bf16 precision
+            # bf16 keeps these [N, T, 4]/[N, T] intermediates small in HBM;
+            # they are consumed on-device by device_sequence (only ASCII
+            # bytes leave the chip) and only feed the phred calc, well
+            # within bf16 precision
             return qual.astype(jnp.bfloat16), block_prob.astype(jnp.bfloat16)
 
         q_shift = float(self.options.q_shift)
@@ -358,6 +360,9 @@ class BasecallRunner:
                 jnp.where(bases == 2, ord("G"), ord("T")),
             ).astype(jnp.uint8)
 
+            # lengths doubles as the tiny [N] i32 sync handle the host
+            # fetches to drain the dispatch queue (block_until_ready is
+            # unreliable through tunnelled links)
             lengths = moves_i.sum(axis=1).astype(jnp.int32)
             # bit-pack the move table
             pad = (-t) % 8
