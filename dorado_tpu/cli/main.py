@@ -116,6 +116,14 @@ def _add_basecaller(sub: argparse._SubParsersAction) -> None:
     p.set_defaults(func=_run_basecaller)
 
 
+def _cl_line() -> str:
+    """The @PG CL command line, shell-quoted so resume's shlex.split
+    re-parse round-trips arguments containing spaces."""
+    import shlex
+
+    return shlex.join(sys.argv)
+
+
 def _run_basecaller(args: argparse.Namespace) -> int:
     import jax.numpy as jnp
 
@@ -294,7 +302,7 @@ def _run_basecaller(args: argparse.Namespace) -> int:
     if not files:
         print(f"> No POD5 files found under {args.data}", file=sys.stderr)
         return 1
-    header = pipeline.build_header(files, cli_line=" ".join(sys.argv))
+    header = pipeline.build_header(files, cli_line=_cl_line())
 
     # inline alignment (AlignerNode in the basecall pipeline,
     # pipeline_creation.cpp) — from-scratch mapper over the given reference
@@ -519,6 +527,13 @@ def _validate_resume_cl(header_text: str, args, model_dir) -> str | None:
         resume_args, _ = parser.parse_known_args(["basecaller", *tokens])
     except (argparse.ArgumentError, SystemExit):
         return "Failed to parse resume parameters from the @PG CL header."
+
+    # resolve the resumed model complex against the CURRENT run's data and
+    # models directory — the old CL's paths may have moved, and the current
+    # run already resolved/downloaded the model, so this never re-sniffs a
+    # stale data path or triggers a fresh download
+    resume_args.data = args.data
+    resume_args.models_directory = args.models_directory
 
     def identity(ns, resolved_dir):
         from dorado_tpu.models.registry import parse_model_complex
@@ -750,7 +765,7 @@ def _run_duplex(args: argparse.Namespace) -> int:
     if not files:
         print(f"> No POD5 files found under {args.data}", file=sys.stderr)
         return 1
-    header = pipeline.simplex.build_header(files, cli_line=" ".join(sys.argv))
+    header = pipeline.simplex.build_header(files, cli_line=_cl_line())
 
     out_is_stdout = args.output == "-"
     if args.emit_fastq:
@@ -799,7 +814,12 @@ def _run_basespace_duplex(args: argparse.Namespace) -> int:
 
     out_is_stdout = args.output == "-"
     header = SamHeader()
-    if args.emit_sam:
+    if getattr(args, "emit_fastq", False):
+        from dorado_tpu.io.sam import FastqWriter
+
+        fh = sys.stdout if out_is_stdout else open(args.output, "w")
+        writer = FastqWriter(fh, header)
+    elif args.emit_sam:
         fh = sys.stdout if out_is_stdout else open(args.output, "w")
         writer = SamWriter(fh, header)
     else:
@@ -950,9 +970,14 @@ def _run_demux(args: argparse.Namespace) -> int:
         header_text = ""
         records = []
         for rf in read_files:
+            if rf.suffix in (".fastq", ".fq"):
+                records.extend(_read_fastq(str(rf)))
+                continue
             ht, recs = read_records(str(rf))
             header_text = header_text or ht
             records.extend(recs)
+    elif str(reads_path).endswith((".fastq", ".fq")):
+        header_text, records = "", _read_fastq(args.reads)
     else:
         header_text, records = read_records(args.reads)
     sample_sheet = None
@@ -969,12 +994,24 @@ def _run_demux(args: argparse.Namespace) -> int:
         kit_name, custom_kit_info = parse_custom_arrangement(args.barcode_arrangement)
         if args.barcode_sequences:
             add_custom_barcodes(parse_custom_sequences(args.barcode_sequences))
-    classifier = BarcodeClassifier(
-        kit_name,
-        allowed_barcodes=sample_sheet.get_barcode_values() if sample_sheet else None,
-        kit_info=custom_kit_info,
-    )
-    kit_display = classifier.kit_info["name"]
+    classifier = None
+    kit_display = kit_name or ""
+    if not args.no_classify:
+        if not kit_name:
+            print(
+                "> demux requires --kit-name (or --barcode-arrangement) "
+                "unless --no-classify groups by existing BC tags.",
+                file=sys.stderr,
+            )
+            return 1
+        classifier = BarcodeClassifier(
+            kit_name,
+            allowed_barcodes=(
+                sample_sheet.get_barcode_values() if sample_sheet else None
+            ),
+            kit_info=custom_kit_info,
+        )
+        kit_display = classifier.kit_info["name"]
 
     only_ids = None
     if args.read_ids:
@@ -982,6 +1019,7 @@ def _run_demux(args: argparse.Namespace) -> int:
             only_ids = {l.strip() for l in _fh if l.strip()}
 
     by_barcode = defaultdict(list)
+    original_barcode: dict[str, str] = {}
     n_done = 0
     for rec in records:
         if only_ids is not None and rec.qname not in only_ids:
@@ -1002,7 +1040,9 @@ def _run_demux(args: argparse.Namespace) -> int:
         else:
             name = f"{kit_display}_{normalize_barcode_name(result.barcode_name)}"
             # sample-sheet alias replaces the barcode id in the BC tag and
-            # output grouping (BarcodeClassifierNode.cpp:131-137)
+            # output grouping (BarcodeClassifierNode.cpp:131-137); keep the
+            # original id for the summary's barcode_arrangement column
+            original_barcode[rec.qname] = name
             if sample_sheet is not None:
                 alias = sample_sheet.get_alias(name)
                 if alias:
@@ -1046,8 +1086,9 @@ def _run_demux(args: argparse.Namespace) -> int:
             fh.write("read_id\tbarcode_arrangement\tbarcode_kit\talias\n")
             for name, recs in sorted(by_barcode.items()):
                 for rec in recs:
-                    alias = name if sample_sheet is not None else ""
-                    fh.write(f"{rec.qname}\t{name}\t{kit_display}\t{alias}\n")
+                    orig = original_barcode.get(rec.qname, name)
+                    alias = name if name != orig else ""
+                    fh.write(f"{rec.qname}\t{orig}\t{kit_display}\t{alias}\n")
         print(f"> Barcoding summary -> {spath}", file=sys.stderr)
     return 0
 
@@ -1255,7 +1296,7 @@ def _run_aligner(args: argparse.Namespace) -> int:
     header.sort_order = "coordinate" if not args.no_sort else "unsorted"
     header.references = list(zip(index.names, index.lengths))
     header.programs.append(
-        {"ID": "aligner", "PN": "dorado_tpu", "CL": " ".join(sys.argv)}
+        {"ID": "aligner", "PN": "dorado_tpu", "CL": _cl_line()}
     )
 
     out_is_stdout = args.output == "-"
@@ -1732,6 +1773,18 @@ def _run_variant(args: argparse.Namespace) -> int:
             if getattr(args, "window_overlap", None) is not None
             else min(1000, args.window_len // 2)
         )
+        # precompute reference ends once so window filters bound both sides
+        # (ref_start-only filtering made late windows scan every read)
+        import re as _re
+
+        def _ref_end(r):
+            span = sum(
+                int(nn) for nn, op in _re.findall(r"(\d+)([MIDNSHP=X])", r.cigar)
+                if op in "MDN=X"
+            )
+            return r.ref_start + max(span, 1)
+
+        read_ends = [_ref_end(r) for r in reads]
         win_iter = [
             (start, lo, hi)
             for lo, hi in sub_spans
@@ -1741,7 +1794,10 @@ def _run_variant(args: argparse.Namespace) -> int:
             end = min(s_hi, start + args.window_len)
             w_start = max(s_lo, start - margin)
             w_end = min(s_hi, end + margin)
-            window_reads = [r for r in reads if r.ref_start < w_end]
+            window_reads = [
+                r for r, e in zip(reads, read_ends)
+                if r.ref_start < w_end and e > w_start
+            ]
             pile = build_pileup(window_reads, w_start, w_end)
             if pile.depth.max(initial=0.0) == 0:
                 continue
@@ -1852,7 +1908,10 @@ def _collect_alignments(args):
         return None
     by_contig = {}
     for rec in records:
-        if rec.flag & 4 or rec.rname == "*" or rec.cigar == "*":
+        # skip unmapped AND secondary/supplementary (0x900): secondaries
+        # carry seq='*' and would corrupt the pileup (medaka_bamiter.cpp
+        # filters them the same way)
+        if rec.flag & (4 | 0x900) or rec.rname == "*" or rec.cigar == "*":
             continue
         if want_rg:
             rg = next((t.value for t in rec.tags if t.tag == "RG"), None)
@@ -2029,7 +2088,7 @@ def _run_correct(args: argparse.Namespace) -> int:
         print(len(blocks))
         return 0
     if args.run_block_id is not None:
-        if not (0 <= args.run_block_id < max(len(blocks), 1)):
+        if not (0 <= args.run_block_id < len(blocks)):
             print(
                 f"> --run-block-id {args.run_block_id} out of range "
                 f"(0..{len(blocks) - 1})",
@@ -2111,7 +2170,23 @@ def _run_summary(args: argparse.Namespace) -> int:
     from dorado_tpu.io.bam_reader import read_records
     from dorado_tpu.io.summary import write_summary
 
-    header, records = read_records(args.reads)
+    reads_path = Path(args.reads)
+    if reads_path.is_dir():
+        pattern = "**/*" if getattr(args, "recursive", False) else "*"
+        read_files = sorted(
+            p for p in reads_path.glob(pattern)
+            if p.suffix in (".bam", ".sam", ".cram")
+        )
+        if not read_files:
+            print(f"> No read files found in {args.reads}", file=sys.stderr)
+            return 1
+        header, records = "", []
+        for rf in read_files:
+            ht, recs = read_records(str(rf))
+            header = header or ht
+            records.extend(recs)
+    else:
+        header, records = read_records(args.reads)
     n = write_summary(records, sys.stdout, header_text=header)
     print(f"> Summarised {n} reads", file=sys.stderr)
     return 0

@@ -833,3 +833,13 @@ class TestCliSurface:
         assert resolve_polish_model_name(
             "dna_r10.4.1_e8.2_400bps_hac@v4.3.0", bacteria=True
         ) == "dna_r10.4.1_e8.2_400bps_polish_bacterial_methylation_v5.0.0"
+
+    def test_demux_no_classify_without_kit(self, basecalled_bam, tmp_path):
+        """--no-classify groups by existing BC tags with NO kit configured
+        (was a crash: the classifier was built unconditionally)."""
+        r = run_cli(
+            "demux", str(basecalled_bam), "--no-classify",
+            "--output-dir", str(tmp_path / "out"),
+        )
+        assert r.returncode == 0, r.stderr
+        assert list((tmp_path / "out").glob("*.bam"))
