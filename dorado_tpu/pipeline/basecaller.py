@@ -119,7 +119,9 @@ class BasecallerPipeline:
             use_pallas=use_pallas,
             mesh=mesh,
         )
-        self.overlap = int(overlap or config.basecaller.overlap)
+        self.overlap = int(
+            overlap if overlap is not None else config.basecaller.overlap
+        )
         self.overlap -= self.overlap % config.stride
         self.emit_moves = emit_moves
         self.modbase_caller = modbase_caller
@@ -226,10 +228,12 @@ class BasecallerPipeline:
             reader = Pod5File(f)
             for ri in reader.run_infos:
                 rg_id = f"{ri.protocol_run_id}_{self.config.model_name}"
-                self._rg_sheet_index[rg_id] = (
-                    ri.flow_cell_id,
-                    ri.sequencer_position,
-                    ri.experiment_name,
+                # first entry wins so header aliasing stays stable across
+                # file parse order (a shared protocol_run_id with differing
+                # flow cells would otherwise alias per whichever parsed last)
+                self._rg_sheet_index.setdefault(
+                    rg_id,
+                    (ri.flow_cell_id, ri.sequencer_position, ri.experiment_name),
                 )
                 if rg_id in seen:
                     continue
@@ -302,14 +306,17 @@ class BasecallerPipeline:
         if not self.config.is_rna_model:
             if self.config.signal_norm_params.standardisation.standardise:
                 # kit14 pA-standardised data: constant trim (ScalerNode.cpp:238-243)
-                trim_start = 10
+                dna_trim = 10
             else:
                 max_samples = min(8000, len(scaled) // 2)
-                trim_start = trim_signal(scaled[:max_samples])
-            if trim_start < len(scaled):
-                scaled = scaled[trim_start:]
+                dna_trim = trim_signal(scaled[:max_samples])
+            if dna_trim < len(scaled):
+                scaled = scaled[dna_trim:]
             else:
-                trim_start = 0
+                dna_trim = 0
+            # rna_trim is nonzero only under force_rna_adapter_trim; both
+            # trims count toward ts/ns (the scaler already dropped rna_trim)
+            trim_start = rna_trim + dna_trim
         # tags report shift/scale in pA space (ScalerNode.cpp:231-234)
         shift_pa = read.calibration_scale * (result.shift + read.calibration_offset)
         scale_pa = read.calibration_scale * result.scale
@@ -478,9 +485,6 @@ class BasecallerPipeline:
 
         records = []
         for i, (s_seq, s_q, s_moves, s_signal, split_point) in enumerate(parts):
-            with self._stats_lock:
-                self.stats.reads_called += 1
-                self.stats.bases_called += len(s_seq)
             rec = self._make_record(wr, s_seq, s_q, s_moves)
             if len(parts) > 1:
                 # split subreads: derived id, pi parent tag, sp split point,
@@ -514,6 +518,11 @@ class BasecallerPipeline:
                     with self._stats_lock:
                         self.reads_filtered += 1
                     continue
+            # counted only for reads that survive the qscore filter, so
+            # reads_called + reads_filtered never double-counts
+            with self._stats_lock:
+                self.stats.reads_called += 1
+                self.stats.bases_called += len(s_seq)
             records.append(rec)
         return records
 
@@ -531,10 +540,10 @@ class BasecallerPipeline:
             )
         )
         # pt:i tail length (-1 = estimation failed), pa:B:i signal ranges
-        rec.tags.append(SamTag("pt", "i", max(result.num_bases, 0) if result.num_bases >= 0 else -1))
+        rec.tags.append(SamTag("pt", "i", result.num_bases if result.num_bases >= 0 else -1))
         pa = np.array(
             [
-                result.signal_range[0],
+                result.signal_anchor,
                 result.signal_range[0],
                 result.signal_range[1],
                 result.split_signal_range[0],
@@ -628,7 +637,9 @@ class BasecallerPipeline:
 
         tags = [
             SamTag("qs", "f", self._mean_qscore(seq, qstring)),
-            SamTag("du", "f", (num_samples + wr.num_trimmed) / float(sample_rate)),
+            SamTag(
+                "du", "f", (num_samples + wr.num_trimmed) / float(max(1, sample_rate))
+            ),
             SamTag("ns", "i", num_samples + wr.num_trimmed),
             SamTag("ts", "i", wr.num_trimmed),
             SamTag("mx", "i", read.well),
@@ -672,6 +683,9 @@ class BasecallerPipeline:
         )
 
         t0 = time.perf_counter()
+        # fresh metrics per run: cumulative idle/wait across runs would
+        # break derived rates (idle fraction could exceed 1.0)
+        self.stats = PipelineStats()
         self._idle_mark = t0  # initial fill counts as device idle
         self._inflight_total = 0
         deadline = t0 + max_seconds if max_seconds is not None else None
@@ -694,8 +708,11 @@ class BasecallerPipeline:
 
         def flush():
             self._flush_batch(finished)
-            while finished:
-                finish_sink.submit(finished.pop())
+            # submit in completion order (pop() reversed every flush group,
+            # breaking the deterministic single-threaded output order)
+            for wr in finished:
+                finish_sink.submit(wr)
+            finished.clear()
             finish_sink.drain_ready()
 
         def gated_reads():
@@ -703,6 +720,13 @@ class BasecallerPipeline:
                 reader = Pod5File(f)
                 for read in reader.reads():
                     if deadline is not None and time.perf_counter() > deadline:
+                        return
+                    if (
+                        self.max_reads is not None
+                        and self._reads_fed >= self.max_reads
+                    ):
+                        # stop decoding entirely — without this every
+                        # remaining read still paid full VBZ decode
                         return
                     read.filename = f.name
                     if self._gate_read(read):

@@ -60,6 +60,7 @@ class SignalAnchorInfo:
 @dataclass
 class PolyTailResult:
     num_bases: int = -1
+    signal_anchor: int = -1  # trimmed-space anchor (POLY_TAIL_NOT_FOUND=-1)
     signal_range: tuple[int, int] = (-1, -1)
     split_signal_range: tuple[int, int] = (-1, -1)
 
@@ -294,6 +295,9 @@ class PolyTailCalculator:
             )
         return PolyTailResult(
             num_bases=num_bases,
+            # PolyACalculatorNode.cpp:61-64: anchor reported in original
+            # (untrimmed) signal coordinates
+            signal_anchor=info[0].signal_anchor + read.num_trimmed_samples,
             signal_range=(start + read.num_trimmed_samples, end + read.num_trimmed_samples),
             split_signal_range=split_range,
         )
