@@ -180,7 +180,9 @@ def tx_encoder_layer(
         "ntc,gc->ntg", x, p["wqkv"].astype(dtype), preferred_element_type=jnp.float32
     ).astype(dtype)
 
-    if jax.default_backend() == "cpu" or max(win) > 128:
+    # the fused kernel is Mosaic (TPU-only); its strips cover windows up to
+    # BQ=256 keys each side
+    if jax.default_backend() != "tpu" or max(win) > 256:
         qkv4 = qkv.reshape(n, t, 3, nhead, head_dim)
         q = apply_rope(qkv4[:, :, 0], cos, sin)
         k = apply_rope(qkv4[:, :, 1], cos, sin)

@@ -2,14 +2,14 @@
 
 Replaces the strip-loop attention (models/tx_model.py::windowed_attention,
 mirroring MultiHeadAttentionImpl's MEA split loop, nn/TxModules.cpp) with a
-Pallas kernel over 128-query strips: each grid cell loads its strip's
-queries plus the three neighbouring 128-key/value blocks straight from the
+Pallas kernel over 256-query strips (BQ below): each grid cell loads its
+strip's queries plus the three neighbouring key/value blocks straight from the
 [N, T, H, D] layout (BlockSpec neighbours — no gather, no transpose), and
 computes logits, band mask, softmax and the value matmul entirely in VMEM.
 The XLA strip path materialises [N, H, T, 343] f32 logits twice in HBM
 (~0.7 GB round-trip per layer at sup shapes); here they never leave VMEM.
 
-Requires win_lower <= 128 and win_upper <= 128 (sup uses [127, 128]) so the
+Requires win_lower <= BQ and win_upper <= BQ (sup uses [127, 128]) so the
 band of any query is covered by blocks {s-1, s, s+1}. The reference's
 12-strip loop also TRUNCATES each band at its strip's key range
 [qb - win_lower, qe + win_upper) — with the sup window that clips exactly
@@ -31,13 +31,11 @@ from jax.experimental.pallas import tpu as pltpu
 BQ = 256
 
 
-def _attn_kernel(
-    q_ref, kp_ref, kc_ref, kn_ref, vp_ref, vc_ref, vn_ref, o_ref,
-    *, h: int, t: int, win_upper: int, win_lower: int, ref_elems: int,
-):
-    s = pl.program_id(1)
-    scale = 1.0 / np.sqrt(q_ref.shape[-1])
-
+def _band_bias(s, t: int, win_upper: int, win_lower: int, ref_elems: int):
+    """[BQ, 3*BQ] additive mask for strip s: the attention band, the
+    reference 12-strip key-range truncation (the subtle bit-parity part),
+    and validity of the clamped edge blocks — shared by both kernels so the
+    truncation semantics cannot desynchronise."""
     q_global = s * BQ + jax.lax.broadcasted_iota(jnp.int32, (BQ, 3 * BQ), 0)
     k_global = (s - 1) * BQ + jax.lax.broadcasted_iota(jnp.int32, (BQ, 3 * BQ), 1)
     diff = k_global - q_global
@@ -51,7 +49,16 @@ def _attn_kernel(
     # s == S-1 the "next" clamps to S-1 — those duplicated blocks are outside
     # [0, t) in global coordinates, so the k_global bounds mask handles them
     valid = band & (k_global >= 0) & (k_global < t)
-    bias = jnp.where(valid, 0.0, -1e30)
+    return jnp.where(valid, 0.0, -1e30)
+
+
+def _attn_kernel(
+    q_ref, kp_ref, kc_ref, kn_ref, vp_ref, vc_ref, vn_ref, o_ref,
+    *, h: int, t: int, win_upper: int, win_lower: int, ref_elems: int,
+):
+    s = pl.program_id(1)
+    scale = 1.0 / np.sqrt(q_ref.shape[-1])
+    bias = _band_bias(s, t, win_upper, win_lower, ref_elems)
 
     # all heads per cell (static leading-dim head indexing keeps Mosaic
     # happy; a [1, BQ, h_i, D]-style mid-dim slice does not lower)
@@ -88,7 +95,7 @@ def windowed_attention_fused(
     ref_elems = -(-t // num_splits)
     ref_elems += (-ref_elems) % 4
     if interpret is None:
-        interpret = jax.default_backend() == "cpu"
+        interpret = jax.default_backend() != "tpu"
     num_strips = -(-t // BQ)
     t_pad = num_strips * BQ
     if t_pad != t:
@@ -148,16 +155,7 @@ def _attn_qkv_rope_kernel(
     s = pl.program_id(1)
     scale = 1.0 / np.sqrt(d)
     hd = h * d
-
-    q_global = s * BQ + jax.lax.broadcasted_iota(jnp.int32, (BQ, 3 * BQ), 0)
-    k_global = (s - 1) * BQ + jax.lax.broadcasted_iota(jnp.int32, (BQ, 3 * BQ), 1)
-    diff = k_global - q_global
-    band = (diff >= -win_upper) & (diff <= win_lower)
-    ref_qb = (q_global // ref_elems) * ref_elems
-    ref_qe = jnp.minimum(ref_qb + ref_elems, t)
-    band &= (k_global >= ref_qb - win_lower) & (k_global < ref_qe + win_upper)
-    valid = band & (k_global >= 0) & (k_global < t)
-    bias = jnp.where(valid, 0.0, -1e30)
+    bias = _band_bias(s, t, win_upper, win_lower, ref_elems)
 
     def rope(x, c_ref, s_ref):
         # non-interleaved halves (RotaryEmbeddingImpl::forward)
@@ -218,7 +216,7 @@ def windowed_attention_qkv_rope(
     ref_elems = -(-t // num_splits)
     ref_elems += (-ref_elems) % 4
     if interpret is None:
-        interpret = jax.default_backend() == "cpu"
+        interpret = jax.default_backend() != "tpu"
     num_strips = -(-t // BQ)
     t_pad = num_strips * BQ
     if t_pad != t:
