@@ -25,7 +25,9 @@ def read_fasta(path: Path | str) -> list[tuple[str, str]]:
             if line.startswith(">"):
                 if name is not None:
                     out.append((name, "".join(parts)))
-                name = line[1:].split()[0]
+                fields = line[1:].split()
+                # tolerate a bare '>' header instead of IndexError
+                name = fields[0] if fields else f"unnamed_{len(out)}"
                 parts = []
             else:
                 parts.append(line.upper())
@@ -46,7 +48,6 @@ class ReferenceIndex:
     positions: np.ndarray  # i64 global position
     strands: np.ndarray  # u8
     seq_ids: np.ndarray  # i32
-    offsets: np.ndarray  # contig id -> global offset
     max_occ: int = 500
 
     @classmethod
@@ -79,12 +80,11 @@ class ReferenceIndex:
 
         # mask minimizers occurring too often (repeats)
         if len(hashes):
-            _, starts, counts = np.unique(hashes, return_index=True, return_counts=True)
+            _, counts = np.unique(hashes, return_counts=True)
             max_occ = max(10, int(np.quantile(counts, 1.0 - max_occ_frac))) if len(counts) else 10
         else:
             max_occ = 10
 
-        offsets = np.zeros(len(seqs), dtype=np.int64)
         return cls(
             names=names,
             lengths=lengths,
@@ -95,7 +95,6 @@ class ReferenceIndex:
             positions=positions,
             strands=strands,
             seq_ids=seq_ids,
-            offsets=offsets,
             max_occ=max_occ,
         )
 

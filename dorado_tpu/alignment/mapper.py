@@ -86,25 +86,39 @@ class Mapper:
         if not keep.any():
             return []
 
-        # collect anchors per (seq_id, strand)
-        anchors: dict[tuple[int, int], list[tuple[int, int]]] = {}
+        # collect anchors per (seq_id, strand) — fully vectorised: a long
+        # read touches tens of thousands of index hits, far too many for a
+        # Python inner loop
         qlen = len(query)
-        for qi in np.flatnonzero(keep):
-            for t in range(int(lo[qi]), int(hi[qi])):
-                sid = int(idx.seq_ids[t])
-                rpos = int(idx.positions[t])
-                strand = int(qs[qi]) ^ int(idx.strands[t])
-                if strand == 0:
-                    qpos = int(qp[qi])
-                else:
-                    qpos = qlen - int(qp[qi]) - idx.k
-                anchors.setdefault((sid, strand), []).append((qpos, rpos))
+        kept = np.flatnonzero(keep)
+        reps = counts[kept]
+        t_idx = np.repeat(lo[kept], reps) + (
+            np.arange(int(reps.sum()), dtype=np.int64)
+            - np.repeat(np.cumsum(reps) - reps, reps)
+        )
+        qi_all = np.repeat(kept, reps)
+        sid_all = idx.seq_ids[t_idx].astype(np.int64)
+        rpos_all = idx.positions[t_idx].astype(np.int64)
+        strand_all = (qs[qi_all] ^ idx.strands[t_idx]).astype(np.int64)
+        qpos_all = np.where(
+            strand_all == 0, qp[qi_all], qlen - qp[qi_all] - idx.k
+        ).astype(np.int64)
 
         candidates = []
-        for (sid, strand), pairs in anchors.items():
-            if len(pairs) < self.min_chain_anchors:
+        group_key = (sid_all << 1) | strand_all
+        order = np.argsort(group_key, kind="stable")
+        group_sorted = group_key[order]
+        bounds = np.flatnonzero(
+            np.concatenate([[True], group_sorted[1:] != group_sorted[:-1]])
+        )
+        for gi, g_lo in enumerate(bounds):
+            g_hi = bounds[gi + 1] if gi + 1 < len(bounds) else len(order)
+            if g_hi - g_lo < self.min_chain_anchors:
                 continue
-            arr = np.asarray(pairs, dtype=np.int64)
+            sel = order[g_lo:g_hi]
+            sid = int(sid_all[sel[0]])
+            strand = int(strand_all[sel[0]])
+            arr = np.stack([qpos_all[sel], rpos_all[sel]], axis=1)
             chain_idx, score = _chain(arr[:, 0], arr[:, 1], idx.k)
             if len(chain_idx) < self.min_chain_anchors or score < self.min_chain_score:
                 continue
@@ -165,6 +179,11 @@ class Mapper:
                 + _ops_to_cigar(core)
                 + (f"{clips_r}S" if clips_r else "")
             )
+            # primary = the first alignment that SURVIVED extension (a
+            # rank-0 candidate whose extension failed must not leave the
+            # read with only secondary records), and secondaries carry
+            # mapq 0 rather than inheriting the primary's confidence
+            is_secondary = bool(results)
             results.append(
                 Alignment(
                     ref_name=idx.names[sid],
@@ -173,11 +192,11 @@ class Mapper:
                     q_start=q_start,
                     q_end=q_end,
                     is_reverse=bool(strand),
-                    mapq=self._mapq(best_score, second_score),
+                    mapq=0 if is_secondary else self._mapq(best_score, second_score),
                     cigar=cigar,
                     nm=int(res.distance) - lead - trail,
                     score=score,
-                    is_secondary=rank > 0,
+                    is_secondary=is_secondary,
                 )
             )
         return results

@@ -89,8 +89,14 @@ class ReadCorrector:
                 if a.ref_name == name:
                     continue  # self-hit
                 span = a.ref_end - a.ref_start
+                # PAF qstart/qend are ALWAYS original-strand coordinates;
+                # the mapper reports reverse hits in RC-frame, so flip
+                if a.is_reverse:
+                    q0, q1 = len(seq) - a.q_end, len(seq) - a.q_start
+                else:
+                    q0, q1 = a.q_start, a.q_end
                 recs.append((
-                    name, len(seq), a.q_start, a.q_end,
+                    name, len(seq), q0, q1,
                     "-" if a.is_reverse else "+",
                     a.ref_name, lens[a.ref_name], a.ref_start, a.ref_end,
                     max(span - a.nm, 0), span, a.mapq, a.cigar,
