@@ -452,16 +452,14 @@ class BasecallRunner:
             # pallas_call kernels that GSPMD cannot partition — under
             # shard_map each chip runs the FULL program on its batch shard
             # (chunks are independent, so this is exactly data parallelism)
-            from jax.experimental.shard_map import shard_map
-
             replicated = NamedSharding(mesh, P())
             self.params = jax.device_put(self.params, replicated)
-            sharded = shard_map(
+            sharded = jax.shard_map(
                 base_fn,
                 mesh=mesh,
                 in_specs=(P(), P("data")),
                 out_specs=P("data"),
-                check_rep=False,
+                check_vma=False,
             )
             self._device_fn = jax.jit(sharded)
         else:

@@ -220,9 +220,17 @@ def read_block(r: ByteReader) -> Block:
         import lzma
 
         data = lzma.decompress(payload)
+    elif method == RANS4x8:
+        from dorado_tpu.io.rans import rans4x8_decode
+
+        data = rans4x8_decode(bytes(payload))
+    elif method == RANSNx16:
+        from dorado_tpu.io.rans import ransNx16_decode
+
+        data = ransNx16_decode(bytes(payload))
     else:
         raise NotImplementedError(
-            f"CRAM block compression method {method} (rANS/arith/fqzcomp/tok3) "
+            f"CRAM block compression method {method} (arith/fqzcomp/tok3) "
             "is not supported by this reader"
         )
     if len(data) != raw_size:

@@ -13,6 +13,7 @@ with a host-side streaming loader.
 
 from __future__ import annotations
 
+import logging
 import struct
 import uuid
 from dataclasses import dataclass, field
@@ -24,6 +25,8 @@ import pyarrow as pa
 import pyarrow.ipc
 
 from dorado_tpu.io.vbz import decompress_signal
+
+_logger = logging.getLogger("dorado_tpu.pod5")
 
 _SIGNATURE = b"\x8bPOD\r\n\x1a\n"
 
@@ -136,6 +139,7 @@ class Pod5File:
 
     def __init__(self, path: Path | str):
         self.path = Path(path)
+        self.reads_skipped = 0  # decode faults skipped by reads()
         self._data = memoryview(self.path.read_bytes())
         tables: dict[str, pa.Table] = {}
         for offset, length in _read_footer_embedded_files(self._data):
@@ -261,9 +265,24 @@ class Pod5File:
             run_info=run_info,
         )
 
-    def reads(self) -> Iterator[Pod5Read]:
+    def reads(self, strict: bool = False) -> Iterator[Pod5Read]:
+        """Iterate reads; by default a read whose row or signal fails to
+        decode is logged and skipped so one corrupt record cannot abort a
+        whole run (DataLoader.cpp:76-93 logs-and-skips per row). Skips are
+        counted in `self.reads_skipped`. strict=True re-raises instead."""
         for i in range(self.num_reads):
-            yield self.get_read(i)
+            try:
+                yield self.get_read(i)
+            except Exception as exc:  # noqa: BLE001 — any decode fault
+                if strict:
+                    raise
+                self.reads_skipped += 1
+                _logger.error(
+                    "POD5 failed to decode read - '%s' @ '%s' (row %d); skipped.",
+                    exc,
+                    self.path,
+                    i,
+                )
 
 
 def find_pod5_files(path: Path | str, recursive: bool = False) -> list[Path]:

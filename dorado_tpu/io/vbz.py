@@ -97,6 +97,19 @@ def decompress_signal(blob: bytes, sample_count: int) -> np.ndarray:
         return np.frombuffer(blob, dtype=np.int16, count=sample_count).copy()
     max_out = (sample_count + 7) // 8 + 2 * sample_count
     raw = zstandard.ZstdDecompressor().decompress(blob, max_output_size=max_out)
+    # integrity: the svb16 payload must be EXACTLY key bytes + data bytes for
+    # sample_count values — zstd frames without checksums can "successfully"
+    # decode corrupted input into garbage of the wrong length
+    key_len = (sample_count + 7) // 8
+    if len(raw) < key_len:
+        raise ValueError("corrupt VBZ: payload shorter than svb16 key stream")
+    nbits = int(
+        np.unpackbits(np.frombuffer(raw, np.uint8, count=key_len), bitorder="little")[
+            :sample_count
+        ].sum()
+    )
+    if len(raw) != key_len + sample_count + nbits:
+        raise ValueError("corrupt VBZ: svb16 payload size mismatch")
     return svb16_decode(raw, sample_count)
 
 

@@ -37,6 +37,9 @@ from dorado_tpu.utils.time_utils import timestamp_from_unix_ms
 @dataclass
 class PipelineStats:
     reads_called: int = 0
+    # reads whose POD5 row/signal failed to decode and were skipped
+    # (DataLoader.cpp:76-93 logs-and-skips semantics)
+    reads_skipped: int = 0
     samples_processed: int = 0  # real samples fed to the model (excl. padding)
     samples_incl_padding: int = 0
     bases_called: int = 0
@@ -718,28 +721,34 @@ class BasecallerPipeline:
         def gated_reads():
             for f in files:
                 reader = Pod5File(f)
-                for read in reader.reads():
-                    if deadline is not None and time.perf_counter() > deadline:
-                        return
-                    if (
-                        self.max_reads is not None
-                        and self._reads_fed >= self.max_reads
-                    ):
-                        # stop decoding entirely — without this every
-                        # remaining read still paid full VBZ decode
-                        return
-                    read.filename = f.name
-                    if self._gate_read(read):
-                        yield read
+                try:
+                    for read in reader.reads():
+                        if deadline is not None and time.perf_counter() > deadline:
+                            return
+                        if (
+                            self.max_reads is not None
+                            and self._reads_fed >= self.max_reads
+                        ):
+                            # stop decoding entirely — without this every
+                            # remaining read still paid full VBZ decode
+                            return
+                        read.filename = f.name
+                        if self._gate_read(read):
+                            yield read
+                finally:
+                    self.stats.reads_skipped += reader.reads_skipped
 
         try:
             for prepared in scale_pool.map(gated_reads()):
                 for wr in prepared:
                     self._feed_prepared(wr, flush)
-            # drain: dispatch the partial batch, harvest everything in flight
+            # drain: dispatch the partial batch, harvest everything in flight.
+            # Submit in completion order (popping reversed the final flush
+            # group, breaking the ordered-sink determinism guarantee).
             self._drain(finished)
-            while finished:
-                finish_sink.submit(finished.pop())
+            for wr in finished:
+                finish_sink.submit(wr)
+            finished.clear()
         finally:
             finish_sink.shutdown()
             scale_pool.shutdown()

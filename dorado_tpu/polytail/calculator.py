@@ -350,6 +350,67 @@ class DNAPolyTailCalculator(PolyTailCalculator):
         return -3.0
 
 
+class PlasmidPolyTailCalculator(DNAPolyTailCalculator):
+    """Plasmid tails: both flanks searched anywhere in the read, with
+    split-tail (two-anchor) support when the tail spans the linearisation
+    junction (plasmid_poly_tail_calculator.cpp:22-120). The config's
+    front/rear primers hold the plasmid flanks (poly_tail_config.cpp)."""
+
+    def determine_signal_anchor_and_strand(self, read: ReadContext) -> list[SignalAnchorInfo]:
+        cfg = self.config
+        front_flank = cfg.front_primer
+        rear_flank = cfg.rear_primer
+        front_flank_rc = cfg.rc_front_primer
+        rear_flank_rc = cfg.rc_rear_primer
+        threshold = cfg.flank_threshold
+        seq = read.seq
+
+        def align_query(query: str):
+            """(score, start, end_incl); locations only when score passes."""
+            if not query:
+                return (-1.0, -1, -1)
+            res = align(query, seq, mode=MODE_HW)
+            score = 1.0 - res.distance / len(query)
+            if score >= threshold:
+                return (score, res.t_start, res.t_end - 1)
+            return (score, -1, -1)
+
+        fwd_front = align_query(front_flank)
+        fwd_rear = align_query(rear_flank)
+        rev_front = align_query(rear_flank_rc)
+        rev_rear = align_query(front_flank_rc)
+
+        scores = [fwd_front[0], fwd_rear[0], rev_front[0], rev_rear[0]]
+        fwd = int(np.argmax(scores)) < 2
+
+        front_result = fwd_front if fwd else rev_front
+        rear_result = fwd_rear if fwd else rev_rear
+        # front and rear good but out of order indicates a cleaved tail
+        split_tail = (
+            front_result[0] >= threshold
+            and rear_result[0] >= threshold
+            and rear_result[2] < front_result[1]
+        )
+
+        m = self._seq_to_sig_map(read)
+        info: list[SignalAnchorInfo] = []
+        if fwd:
+            if fwd_front[0] >= threshold:
+                trailing = len(front_flank) - len(front_flank.rstrip("A"))
+                info.append(SignalAnchorInfo(FORWARD, int(m[front_result[2]]), trailing))
+            if (split_tail or not info) and fwd_rear[0] >= threshold:
+                trailing = len(rear_flank) - len(rear_flank.lstrip("A"))
+                info.append(SignalAnchorInfo(BACKWARD, int(m[rear_result[1]]), trailing))
+        else:
+            if rev_front[0] >= threshold:
+                trailing = len(rear_flank_rc) - len(rear_flank_rc.rstrip("T"))
+                info.append(SignalAnchorInfo(FORWARD, int(m[front_result[2]]), trailing))
+            if (split_tail or not info) and rev_rear[0] >= threshold:
+                trailing = len(front_flank_rc) - len(front_flank_rc.lstrip("T"))
+                info.append(SignalAnchorInfo(BACKWARD, int(m[rear_result[1]]), trailing))
+        return info
+
+
 class RNAPolyTailCalculator(PolyTailCalculator):
     def __init__(self, config, rna_adapter: bool = False, speed=None, offset=None):
         super().__init__(config, speed, offset)
@@ -405,6 +466,8 @@ def make_calculator(
     config = config or PolyTailConfig()
     if is_rna:
         return RNAPolyTailCalculator(config, is_rna_adapter, speed, offset)
+    if config.is_plasmid:
+        return PlasmidPolyTailCalculator(config, speed, offset)
     return DNAPolyTailCalculator(config, speed, offset)
 
 

@@ -14,6 +14,12 @@ if "xla_force_host_platform_device_count" not in _flags:
         _flags + " --xla_force_host_platform_device_count=8"
     ).strip()
 
+# Exported so SUBPROCESS tests (CLI invocations) also stay on CPU — without
+# this they try to initialise the axon TPU backend, which hangs the whole
+# suite whenever the tunnel is degraded. Forced (not setdefault): the axon
+# sitecustomize pre-sets JAX_PLATFORMS=axon in os.environ at startup.
+os.environ["JAX_PLATFORMS"] = "cpu"
+
 # The environment pre-imports jax (sitecustomize), so JAX_PLATFORMS in
 # os.environ is too late — switch the already-imported config instead.
 import jax  # noqa: E402

@@ -204,6 +204,33 @@ class TestPipeline:
             assert f[1] == "4"  # unmapped flag
             assert len(f[9]) == len(f[10])
 
+    def test_output_order_deterministic(self, fast_model_dir, tmp_path):
+        """Whole-run output order is feed order (ordered-sink guarantee).
+
+        All fixture reads land in one final drain group (batch_size covers
+        them), so a reversed drain submit (the round-2 `finished.pop()` bug)
+        flips the output order relative to the POD5 feed order."""
+        config, params = load_model(fast_model_dir)
+        files = find_pod5_files(POD5_DIR)
+        from dorado_tpu.io.pod5 import Pod5File
+
+        fed_order = []
+        for f in files:
+            for read in Pod5File(f).reads():
+                fed_order.append(str(read.read_id))
+
+        pipeline = BasecallerPipeline(
+            config, params, chunk_size=4000, batch_size=8, decoder="viterbi"
+        )
+        header = pipeline.build_header(files, cli_line="test")
+        out = tmp_path / "ordered.bam"
+        with open(out, "wb") as fh:
+            writer = BamWriter(fh, header)
+            pipeline.run(POD5_DIR, writer)
+            writer.close()
+        _, records = _decode_bam(out)
+        assert [r["name"] for r in records] == fed_order
+
     def test_stats_consistency(self, fast_model_dir):
         config, params = load_model(fast_model_dir)
         pipeline = BasecallerPipeline(

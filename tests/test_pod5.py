@@ -130,3 +130,44 @@ def test_fast5_rejected_with_pointer(tmp_path):
     (tmp_path / "old.fast5").write_bytes(b"\x89HDF")
     with _pytest.raises(RuntimeError, match="convert your dataset to POD5"):
         find_pod5_files(tmp_path)
+
+
+class TestFaultTolerance:
+    """Per-read decode-error resilience (DataLoader.cpp:76-93: log + skip a
+    bad row, keep basecalling the rest)."""
+
+    @staticmethod
+    def _corrupt_one_read(tmp_path, row: int = 0):
+        from tests.conftest import REFERENCE_ROOT
+
+        src = REFERENCE_ROOT / "tests/data/multi_read_pod5/filtered.pod5"
+        if not src.exists():
+            pytest.skip("fixture missing")
+        data = bytearray(src.read_bytes())
+        f = Pod5File(src)
+        sig_row = int(f._reads["signal"][row].as_py()[0])
+        blob = bytes(f._signal["signal"][sig_row].as_py())
+        off = bytes(data).find(blob)
+        assert off > 0
+        # trash the zstd frame header so decompression raises deterministically
+        # (mid-frame flips can land in raw literals and decode "successfully")
+        for i in range(off, off + 8):
+            data[i] ^= 0xFF
+        out = tmp_path / "corrupt.pod5"
+        out.write_bytes(bytes(data))
+        return out, f.num_reads
+
+    def test_reads_skips_corrupt_row(self, tmp_path):
+        path, n = self._corrupt_one_read(tmp_path)
+        f = Pod5File(path)
+        good = list(f.reads())
+        assert len(good) == n - 1
+        assert f.reads_skipped == 1
+        for r in good:
+            assert len(r.signal) > 0
+
+    def test_strict_raises(self, tmp_path):
+        path, _ = self._corrupt_one_read(tmp_path)
+        f = Pod5File(path)
+        with pytest.raises(Exception):
+            list(f.reads(strict=True))

@@ -140,3 +140,97 @@ class TestPolyTailSelector:
         cfgs = load_poly_tail_configs(p)
         assert cfgs[""].enabled is True
         assert cfgs["kit_barcode01"].enabled is False
+
+
+class TestPlasmid:
+    """Plasmid flank anchor semantics (plasmid_poly_tail_calculator.cpp:22-120):
+    both flanks searched anywhere in the read, FORWARD anchor at the front
+    flank's end, BACKWARD anchor at the rear flank's start, two anchors when
+    the flanks appear out of order (tail split across the junction)."""
+
+    FRONT = "CCGGTTAACCGGTTGC"  # no trailing A
+    REAR = "GGCCAATTGGCCAATT"  # no leading A
+
+    @staticmethod
+    def _ctx(seq: str) -> ReadContext:
+        # one base every 2 strides -> samples_per_base = 10, stride 5
+        moves = np.zeros(2 * len(seq), dtype=np.uint8)
+        moves[::2] = 1
+        signal = np.zeros(10 * len(seq), dtype=np.float32)
+        return ReadContext(seq=seq, moves=moves, signal=signal, stride=5)
+
+    @classmethod
+    def _calc(cls):
+        from dorado_tpu.polytail.calculator import PlasmidPolyTailCalculator
+
+        cfg = PolyTailConfig(
+            front_primer=cls.FRONT,
+            rear_primer=cls.REAR,
+            is_plasmid=True,
+            flank_threshold=0.85,
+        )
+        calc = make_calculator(cfg)
+        assert isinstance(calc, PlasmidPolyTailCalculator)
+        return calc
+
+    def test_forward_single_anchor(self):
+        filler = "ACGTAG" * 20
+        seq = filler + self.FRONT + "A" * 40 + self.REAR + filler
+        read = self._ctx(seq)
+        info = self._calc().determine_signal_anchor_and_strand(read)
+        # in-order flanks -> NOT split -> one FORWARD anchor at front end
+        assert len(info) == 1
+        assert info[0].search_dir == "forward"
+        front_end = len(filler) + len(self.FRONT) - 1  # inclusive last base
+        assert info[0].signal_anchor == front_end * 10
+        assert info[0].trailing_adapter_bases == 0
+
+    def test_split_tail_two_anchors(self):
+        filler = "ACGTAG" * 40
+        seq = "A" * 25 + self.REAR + filler + self.FRONT + "A" * 15
+        read = self._ctx(seq)
+        info = self._calc().determine_signal_anchor_and_strand(read)
+        # rear before front -> junction-split tail -> both anchors
+        assert len(info) == 2
+        assert info[0].search_dir == "forward"
+        front_end = len(seq) - 15 - 1
+        assert info[0].signal_anchor == front_end * 10
+        assert info[1].search_dir == "backward"
+        assert info[1].signal_anchor == 25 * 10
+
+    def test_reverse_strand(self):
+        from dorado_tpu.utils import reverse_complement
+
+        filler = "ACGTAG" * 20
+        fwd = filler + self.FRONT + "A" * 40 + self.REAR + filler
+        seq = reverse_complement(fwd)
+        read = self._ctx(seq)
+        info = self._calc().determine_signal_anchor_and_strand(read)
+        assert len(info) == 1
+        assert info[0].search_dir == "forward"
+        # rc(rear) sits where rear was, mirrored: it ends at the mirror of
+        # rear's start
+        rear_start_fwd = len(filler) + len(self.FRONT) + 40
+        front_end_rev = len(seq) - 1 - rear_start_fwd
+        assert info[0].signal_anchor == front_end_rev * 10
+
+    def test_trailing_tail_bases_counted(self):
+        front = "CCGGTTCCGGAAAA"  # 4 trailing A
+        rear = "AAGGCCTTGGCCTT"  # 2 leading A
+        cfg = PolyTailConfig(
+            front_primer=front, rear_primer=rear, is_plasmid=True, flank_threshold=0.85
+        )
+        calc = make_calculator(cfg)
+        filler = "CGTCGA" * 20
+        seq = filler + front + "A" * 40 + rear + filler
+        info = calc.determine_signal_anchor_and_strand(self._ctx(seq))
+        assert len(info) == 1 and info[0].trailing_adapter_bases == 4
+        # split orientation picks up the rear anchor's leading-A count
+        seq2 = "A" * 25 + rear + "CGTCGA" * 40 + front + "A" * 15
+        info2 = calc.determine_signal_anchor_and_strand(self._ctx(seq2))
+        assert len(info2) == 2 and info2[1].trailing_adapter_bases == 2
+
+    def test_no_flanks_no_anchor(self):
+        seq = "ACGTAG" * 60
+        info = self._calc().determine_signal_anchor_and_strand(self._ctx(seq))
+        assert info == []
