@@ -119,11 +119,26 @@ class Mapper:
             sid = int(sid_all[sel[0]])
             strand = int(strand_all[sel[0]])
             arr = np.stack([qpos_all[sel], rpos_all[sel]], axis=1)
-            chain_idx, score = _chain(arr[:, 0], arr[:, 1], idx.k)
-            if len(chain_idx) < self.min_chain_anchors or score < self.min_chain_score:
-                continue
-            chain = arr[chain_idx]
-            candidates.append((score, sid, strand, chain))
+            # peel chains: after taking the best chain, drop its reference
+            # span's anchors and re-chain, so same-contig repeats still
+            # surface as secondary candidates (minimap2 finds all chains)
+            remaining = arr
+            for _ in range(self.max_alignments):
+                if len(remaining) < self.min_chain_anchors:
+                    break
+                chain_idx, score = _chain(remaining[:, 0], remaining[:, 1], idx.k)
+                if (
+                    len(chain_idx) < self.min_chain_anchors
+                    or score < self.min_chain_score
+                ):
+                    break
+                chain = remaining[chain_idx]
+                candidates.append((score, sid, strand, chain))
+                r_lo = int(chain[:, 1].min()) - idx.k
+                r_hi = int(chain[:, 1].max()) + idx.k
+                remaining = remaining[
+                    (remaining[:, 1] < r_lo) | (remaining[:, 1] > r_hi)
+                ]
 
         if not candidates:
             return []

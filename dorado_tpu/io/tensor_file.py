@@ -75,7 +75,8 @@ class _TensorUnpickler(pickle.Unpickler):
             return _rebuild_tensor_v2
         if module == "torch" and name in _STORAGE_DTYPES:
             return _STORAGE_DTYPES[name]
-        if module == "__torch__" or name == "Module":
+        if module.startswith("__torch__") or name == "Module":
+            # torchscript class path varies with the saving module's name
             return _Module
         if module == "collections" and name == "OrderedDict":
             return _OrderedDictStandin
@@ -107,7 +108,12 @@ def load_tensor_file(path: Path | str) -> list[np.ndarray]:
         pkl = next(n for n in names if n.endswith("/data.pkl"))
         root = pkl[: -len("/data.pkl")]
         module = _TensorUnpickler(io.BytesIO(z.read(pkl))).load()
-        items = sorted(module.items(), key=lambda kv: int(kv[0]))
+        # numeric keys are the saved parameters; jit-scripted modules also
+        # carry attributes like "training" — ignore those
+        items = sorted(
+            ((k, v) for k, v in module.items() if str(k).isdigit()),
+            key=lambda kv: int(kv[0]),
+        )
         return [_materialise(z, root, v) for _, v in items]
 
 

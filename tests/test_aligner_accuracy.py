@@ -1,0 +1,143 @@
+"""Mapping accuracy harness for the from-scratch minimizer aligner.
+
+The reference inherits minimap2's accuracy (alignment/Minimap2Aligner.cpp);
+this repo's aligner is a redesign, so its quality is enforced empirically:
+reads simulated from a known reference with ONT-like error rates must map
+back to their true origin. CI floors: recall >= 0.95 at 8% error, placement
+accuracy of mapped reads >= 0.98, and zero wrong-contig placements at 4%.
+"""
+
+import numpy as np
+import pytest
+
+from dorado_tpu.alignment.index import ReferenceIndex
+from dorado_tpu.alignment.mapper import Mapper
+from dorado_tpu.utils import reverse_complement
+
+BASES = np.frombuffer(b"ACGT", np.uint8)
+
+
+def _random_seq(rng, n):
+    return rng.choice(BASES, n).tobytes().decode()
+
+
+def _mutate(rng, seq, sub, ins, dele):
+    out = []
+    for c in seq:
+        r = rng.random()
+        if r < dele:
+            continue
+        if r < dele + ins:
+            out.append(c)
+            out.append(chr(BASES[rng.integers(4)]))
+            continue
+        if r < dele + ins + sub:
+            out.append(chr(BASES[rng.integers(4)]))
+        else:
+            out.append(c)
+    return "".join(out)
+
+
+@pytest.fixture(scope="module")
+def sim():
+    rng = np.random.default_rng(1234)
+    contigs = {"chr1": _random_seq(rng, 60000), "chr2": _random_seq(rng, 20000)}
+    fasta = "".join(f">{n}\n{s}\n" for n, s in contigs.items())
+    return rng, contigs, fasta
+
+
+def _simulate_reads(rng, contigs, n, err):
+    sub, ins, dele = err * 0.5, err * 0.25, err * 0.25
+    reads = []
+    names = list(contigs)
+    for i in range(n):
+        name = names[rng.integers(len(names))]
+        ref = contigs[name]
+        length = int(rng.integers(400, 4000))
+        start = int(rng.integers(0, len(ref) - length))
+        frag = ref[start : start + length]
+        strand = int(rng.integers(2))
+        if strand:
+            frag = reverse_complement(frag)
+        reads.append(
+            {
+                "seq": _mutate(rng, frag, sub, ins, dele),
+                "name": name,
+                "start": start,
+                "end": start + length,
+                "strand": strand,
+            }
+        )
+    return reads
+
+
+def _evaluate(index, reads, max_alignments=1):
+    mapper = Mapper(index, max_alignments=max_alignments)
+    mapped = correct = wrong_contig = 0
+    for rd in reads:
+        alns = mapper.map(rd["seq"])
+        primary = next((a for a in alns if not a.is_secondary), None) if alns else None
+        if primary is None:
+            continue
+        mapped += 1
+        if primary.ref_name != rd["name"]:
+            wrong_contig += 1
+            continue
+        # overlap of the aligned interval with the true source interval
+        lo = max(primary.ref_start, rd["start"])
+        hi = min(primary.ref_end, rd["end"])
+        span = rd["end"] - rd["start"]
+        if hi - lo >= 0.8 * span and int(primary.is_reverse) == rd["strand"]:
+            correct += 1
+    return mapped, correct, wrong_contig
+
+
+class TestAccuracy:
+    def test_recall_and_placement_8pct_error(self, sim):
+        rng, contigs, fasta = sim
+        index = ReferenceIndex.build(list(contigs.items()))
+        reads = _simulate_reads(rng, contigs, 60, err=0.08)
+        mapped, correct, wrong = _evaluate(index, reads)
+        recall = mapped / len(reads)
+        acc = correct / mapped if mapped else 0.0
+        assert recall >= 0.95, f"recall {recall:.3f} below floor"
+        assert acc >= 0.98, f"placement accuracy {acc:.3f} below floor"
+
+    def test_clean_reads_all_place(self, sim):
+        rng, contigs, fasta = sim
+        index = ReferenceIndex.build(list(contigs.items()))
+        reads = _simulate_reads(rng, contigs, 30, err=0.04)
+        mapped, correct, wrong = _evaluate(index, reads)
+        assert mapped == 30
+        assert wrong == 0
+        assert correct == 30
+
+    def test_mapq_discriminates_unique_hits(self, sim):
+        rng, contigs, fasta = sim
+        index = ReferenceIndex.build(list(contigs.items()))
+        reads = _simulate_reads(rng, contigs, 20, err=0.05)
+        mapper = Mapper(index)
+        qs = []
+        for rd in reads:
+            alns = mapper.map(rd["seq"])
+            if alns:
+                qs.append(alns[0].mapq)
+        assert len(qs) >= 19
+        assert np.median(qs) >= 20
+
+
+class TestSecondary:
+    def test_repeat_region_yields_secondaries(self, sim):
+        rng, contigs, fasta = sim
+        # a duplicated segment: read from the repeat must produce a primary
+        # plus >=1 secondary when -N allows it, and only a primary at -N 0
+        seg = contigs["chr1"][10000:13000]
+        dup = contigs["chr1"][:30000] + seg + contigs["chr1"][30000:]
+        index = ReferenceIndex.build([("dup", dup)])
+        read = _mutate(rng, seg[200:2600], 0.02, 0.01, 0.01)
+        with_sec = Mapper(index, max_alignments=6).map(read)
+        assert sum(1 for a in with_sec if not a.is_secondary) == 1
+        assert sum(1 for a in with_sec if a.is_secondary) >= 1
+        no_sec = Mapper(index, max_alignments=1).map(read)
+        assert all(not a.is_secondary for a in no_sec)
+        assert len(no_sec) == 1
