@@ -374,10 +374,33 @@ class BasecallRunner:
 
         fwd_scan, bwd_scan, vit_path = _decode_scan_fns(num_states * 4)
         use_fused = _use_fused_decode(num_states * 4)
+        if use_fused and decoder == "viterbi":
+            # bake the block-layout permutation into the CRF head so the
+            # model emits block-layout scores directly: the fused decode
+            # kernels consume c' = r*S + s, and permuting on device is a
+            # full [T, N, C] HBM lane gather (~43 ms at hac batch 512)
+            from dorado_tpu.models.crf_model import permute_head_params
+            from dorado_tpu.ops.crf_pallas import block_permutation
+
+            self.params = permute_head_params(
+                self.params, block_permutation(num_states)
+            )
+
+        # the decode kernels stream scores twice (backward scan + fused
+        # forward); bf16 storage halves that dominant HBM traffic. The
+        # reference decodes half-precision scores on GPU the same way
+        # (CudaCaller converts model output to F16 for the Koi decoders);
+        # DORADO_TPU_DECODE_SCORES=f32 forces full precision.
+        score_dtype = (
+            jnp.bfloat16
+            if os.environ.get("DORADO_TPU_DECODE_SCORES", "bf16") != "f32"
+            else jnp.float32
+        )
 
         @jax.jit
         def device_viterbi(p, sig):
-            scores_tnc = fwd_tm(p, sig)  # [T_out, N, C] f32
+            scores_tnc = fwd_tm(p, sig)  # [T_out, N, C] f32 (block layout
+            # on the fused path: the head permutation above)
             if use_fused:
                 # one fused pass over the score stream does the alpha LSE
                 # recursion, the posterior rows, and the Viterbi choices —
@@ -388,7 +411,7 @@ class BasecallRunner:
                 )
 
                 t_posts, choices, final = fused_viterbi_decode(
-                    scores_tnc, blank
+                    scores_tnc.astype(score_dtype), blank, prepermuted=True
                 )
                 last_state = jnp.argmax(final, axis=-1).astype(jnp.int32)
                 states, moves = viterbi_traceback_pallas(choices, last_state)

@@ -312,6 +312,29 @@ def linear_crf_head(
     return scores
 
 
+def permute_head_params(params: Params, perm) -> Params:
+    """Return params with the CRF head's output channels permuted.
+
+    Used by the runner's fused viterbi path: baking the block-layout
+    permutation (ops/crf_pallas.block_permutation) into the final linear's
+    output rows makes the model emit block-layout scores directly — the
+    lattice permute costs nothing instead of a full [T, N, C] HBM lane
+    gather on device. The permutation commutes with the tanh*5 / clamp
+    elementwise tail of linear_crf_head. Handles the LSTM head (linear1 /
+    decomposed linear1+linear2) and the Tx LinearScaledCRF head ("crf")."""
+    perm = np.asarray(perm)
+    head = "crf" if "crf" in params else (
+        "linear2" if "linear2" in params else "linear1"
+    )
+    out = dict(params)
+    layer = dict(out[head])
+    layer["w"] = jnp.asarray(layer["w"])[perm, :]
+    if "b" in layer:
+        layer["b"] = jnp.asarray(layer["b"])[perm]
+    out[head] = layer
+    return out
+
+
 def lstm_crf_forward(
     params: Params,
     signal: jnp.ndarray,

@@ -69,6 +69,19 @@ def _pick_bt(t_len: int, bn: int, c: int) -> int:
     return _pick_bt_for(t_len, bn * c * 4 * 2 + bn * s * 4 * 2)
 
 
+def _pick_tiles(t_len: int, n: int, row_bytes) -> tuple[int, int]:
+    """(bn, bt) with the batch tile as wide as VMEM allows (wider rows give
+    the VPU more ILP per op along the serial carry chain — the scans are
+    latency-bound on that chain, not on FLOPs), then the largest time tile
+    that fits. row_bytes(bn) -> double-buffered VMEM bytes per time-row."""
+    bn = 1
+    while bn < 512 and n % (bn * 2) == 0:
+        bn *= 2
+    while bn > 128 and row_bytes(bn) > _VMEM_BUDGET:
+        bn //= 2
+    return bn, max(_pick_bt_for(t_len, row_bytes(bn)), 1)
+
+
 @functools.lru_cache(maxsize=None)
 def _lattice_matrices(num_states: int, reverse: bool) -> tuple[np.ndarray, np.ndarray]:
     """One-hot (P [S, C], G [C, S]) pair for a scan direction.
@@ -331,6 +344,28 @@ def _repeat_matrices(num_states: int) -> tuple[np.ndarray, np.ndarray]:
     return r4, r4.T.copy()
 
 
+@functools.lru_cache(maxsize=None)
+def _combined_matrices(num_states: int) -> tuple[np.ndarray, np.ndarray]:
+    """R [S, C] one-hot with R[u, r*S + s] = 1 iff u == r*(S/4) + (s>>2):
+    the four per-slot repeat matrices stacked along columns, so all four
+    slot expansions run as ONE MXU matmul per time-row. At hac shapes the
+    per-slot [bn, S/4] @ [S/4, S] matmuls are issue-latency-bound (8-16
+    tiny matmuls per row); one [bn, S] @ [S, C] pass is ~1.5x faster
+    end-to-end (measured v5e, batch 512). Same exact-copy semantics: each
+    column has a single 1.0. Used when S <= 256 (bf16 R is 512 KB of VMEM;
+    sup's S=1024 would need 8 MB, so sup stays on the per-slot matrices)."""
+    s4 = num_states // 4
+    c = num_states * 4
+    cp = np.arange(c)
+    r = np.zeros((num_states, c), np.float32)
+    r[(cp // num_states) * s4 + ((cp % num_states) >> 2), cp] = 1.0
+    return r, r.T.copy()
+
+
+def _use_combined(num_states: int) -> bool:
+    return num_states <= 256
+
+
 def block_permutation(num_states: int) -> np.ndarray:
     """perm with scores_blk[..., r*S + s] = scores_raw[..., s*4 + r]."""
     c = num_states * 4
@@ -338,28 +373,46 @@ def block_permutation(num_states: int) -> np.ndarray:
     return ((cp % num_states) * 4 + (cp // num_states)).astype(np.int32)
 
 
-def _lse_fwd_blk_kernel(sc_ref, r4_ref, out_ref, carry_ref, *, bt, stay_factor, s4):
+def _alpha_step(ec, sc, mat_ref, stay_factor, s4, combined):
+    """One forward-LSE lattice step in exp space: exp-carry ec [bn, S] and
+    block-layout score row sc [bn, C] -> reduced exp sums [bn, S]."""
+    s = 4 * s4
+    red = ec * stay_factor
+    if combined:
+        ecp = _dot2(ec, mat_ref[:])  # [bn, C], one MXU pass (x2 hi/lo)
+        prod = ecp * jnp.exp(sc)
+        for r in range(4):
+            red = red + prod[:, r * s : (r + 1) * s]
+    else:
+        for r in range(4):
+            ecp = _dot2(ec[:, r * s4 : (r + 1) * s4], mat_ref[:])
+            red = red + ecp * jnp.exp(sc[:, r * s : (r + 1) * s])
+    return red
+
+
+def _lse_fwd_blk_kernel(
+    sc_ref, r4_ref, out_ref, carry_ref, *, bt, stay_factor, s4, combined
+):
     t_idx = pl.program_id(1)
 
     @pl.when(t_idx == 0)
     def _():
         carry_ref[:] = jnp.zeros_like(carry_ref)
 
-    s = 4 * s4
     carry = carry_ref[:]
     for i in range(bt):
         m = jnp.max(carry, axis=-1, keepdims=True)
         ec = jnp.exp(carry - m)
-        red = ec * stay_factor
-        for r in range(4):
-            ecp = _dot2(ec[:, r * s4 : (r + 1) * s4], r4_ref[:])
-            red = red + ecp * jnp.exp(sc_ref[i, :, r * s : (r + 1) * s])
+        sc = sc_ref[i].astype(jnp.float32)
+        red = _alpha_step(ec, sc, r4_ref, stay_factor, s4, combined)
         carry = m + jnp.log(red)
         out_ref[i] = carry
     carry_ref[:] = carry
 
 
-def _lse_bwd_blk_kernel(sc_ref, r4t_ref, out_ref, carry_ref, *, bt, stay_factor, s4):
+def _lse_bwd_blk_kernel(
+    sc_ref, r4t_ref, out_ref, carry_ref, *, bt, stay_factor, s4, combined, shifted
+):
     t_idx = pl.program_id(1)
 
     @pl.when(t_idx == 0)
@@ -370,49 +423,74 @@ def _lse_bwd_blk_kernel(sc_ref, r4t_ref, out_ref, carry_ref, *, bt, stay_factor,
     carry = carry_ref[:]
     for i in range(bt):
         j = bt - 1 - i
+        if shifted:
+            # row j of the shifted stream is beta[j+1]: the carry BEFORE
+            # consuming score row j. Writing it here hands the fused
+            # forward kernel exactly the rows it needs — no [T+1] concat +
+            # [1:] slice pass over the full beta tensor outside.
+            out_ref[j] = carry
         m = jnp.max(carry, axis=-1, keepdims=True)
         eb = jnp.exp(carry - m)
-        parts = []
-        for r in range(4):
-            prod = eb * jnp.exp(sc_ref[j, :, r * s : (r + 1) * s])
-            parts.append(_dot2(prod, r4t_ref[:]))  # [bn, S/4]
-        red = jnp.concatenate(parts, axis=-1) + eb * stay_factor
+        sc = sc_ref[j].astype(jnp.float32)
+        if combined:
+            # prod[c'=r*S+s] = eb[s] * exp(sc[c']); R^T folds the four
+            # slot reductions into one [bn, C] @ [C, S] pass
+            ebt = jnp.concatenate([eb, eb, eb, eb], axis=-1)  # [bn, C]
+            prod = ebt * jnp.exp(sc)
+            red = _dot2(prod, r4t_ref[:]) + eb * stay_factor
+        else:
+            parts = []
+            for r in range(4):
+                prod = eb * jnp.exp(sc[:, r * s : (r + 1) * s])
+                parts.append(_dot2(prod, r4t_ref[:]))  # [bn, S/4]
+            red = jnp.concatenate(parts, axis=-1) + eb * stay_factor
         carry = m + jnp.log(red)
-        out_ref[j] = carry
+        if not shifted:
+            out_ref[j] = carry
     carry_ref[:] = carry
 
 
 @functools.partial(
-    jax.jit, static_argnames=("stay_score", "reverse", "interpret", "prepermuted")
+    jax.jit,
+    static_argnames=("stay_score", "reverse", "interpret", "prepermuted", "shifted"),
 )
 def _lse_scan_pallas_blk(
     scores_tnc, stay_score: float, reverse: bool, interpret: bool,
-    prepermuted: bool = False,
+    prepermuted: bool = False, shifted: bool = False,
 ):
     """LSE scan via the block-layout kernel; ``prepermuted`` skips the
     raw->block gather when the caller already holds block-layout scores
-    (one shared permute instead of one per kernel on the sup path)."""
+    (one shared permute instead of one per kernel on the sup path) and
+    keeps the caller's score dtype (bf16 stream halves the dominant HBM
+    read). ``shifted`` (reverse only) returns the [T, N, S] stream with
+    row j = beta[j+1] — what the fused forward kernel consumes — written
+    directly by the kernel instead of a concat+slice pass outside."""
     t_len, n, c = scores_tnc.shape
     s = c // 4
     s4 = s // 4
-    bn = _pick_bn(n)
-    bt = _pick_bt(t_len, bn, c)
-    n_tiles, t_tiles = n // bn, t_len // bt
     stay_factor = float(np.exp(stay_score))
 
     if prepermuted:
-        blk = scores_tnc.astype(jnp.float32)
+        blk = scores_tnc
     else:
         perm = jnp.asarray(block_permutation(s))
         blk = scores_tnc.astype(jnp.float32)[..., perm]
+    esz = blk.dtype.itemsize
+    bn, bt = _pick_tiles(t_len, n, lambda b: b * (c * esz + s * 4) * 2)
+    n_tiles, t_tiles = n // bn, t_len // bt
 
-    r4, r4t = _repeat_matrices(s)
-    mat = r4t if reverse else r4
+    combined = _use_combined(s)
+    if combined:
+        r16, r16t = _combined_matrices(s)
+        mat = r16t if reverse else r16
+    else:
+        r4, r4t = _repeat_matrices(s)
+        mat = r4t if reverse else r4
+    kwargs = dict(bt=bt, stay_factor=stay_factor, s4=s4, combined=combined)
+    if reverse:
+        kwargs["shifted"] = shifted
     kernel = functools.partial(
-        _lse_bwd_blk_kernel if reverse else _lse_fwd_blk_kernel,
-        bt=bt,
-        stay_factor=stay_factor,
-        s4=s4,
+        _lse_bwd_blk_kernel if reverse else _lse_fwd_blk_kernel, **kwargs
     )
     if reverse:
         t_map = lambda b, t: (t_tiles - 1 - t, b, 0)  # noqa: E731
@@ -435,14 +513,30 @@ def _lse_scan_pallas_blk(
         interpret=interpret,
     )
     hist = f(blk, jnp.asarray(mat, jnp.bfloat16))
+    if shifted:
+        assert reverse
+        return hist
     init = jnp.zeros((1, n, s), jnp.float32)
     if reverse:
         return jnp.concatenate([hist, init], axis=0)
     return jnp.concatenate([init, hist], axis=0)
 
 
+def _viterbi_expand(vc, sc, mat_ref, s4, combined):
+    """Max-plus lattice expansion: carry vc [bn, S], block-layout score row
+    sc [bn, C] -> the four per-slot candidate planes [bn, S] each."""
+    s = 4 * s4
+    if combined:
+        stepped = _dot2(vc, mat_ref[:]) + sc  # [bn, C]
+        return [stepped[:, r * s : (r + 1) * s] for r in range(4)]
+    return [
+        _dot2(vc[:, r * s4 : (r + 1) * s4], mat_ref[:]) + sc[:, r * s : (r + 1) * s]
+        for r in range(4)
+    ]
+
+
 def _viterbi_blk_kernel(
-    sc_ref, r4_ref, out_ref, final_ref, carry_ref, *, bt, stay_score, s4
+    sc_ref, r4_ref, out_ref, final_ref, carry_ref, *, bt, stay_score, s4, combined
 ):
     t_idx = pl.program_id(1)
 
@@ -450,14 +544,10 @@ def _viterbi_blk_kernel(
     def _():
         carry_ref[:] = jnp.zeros_like(carry_ref)
 
-    s = 4 * s4
     carry = carry_ref[:]
     for i in range(bt):
         carry = carry - jnp.max(carry, axis=-1, keepdims=True)
-        red = []
-        for r in range(4):
-            avp = _dot2(carry[:, r * s4 : (r + 1) * s4], r4_ref[:])
-            red.append(avp + sc_ref[i, :, r * s : (r + 1) * s])
+        red = _viterbi_expand(carry, sc_ref[i], r4_ref, s4, combined)
         best = jnp.maximum(jnp.maximum(red[0], red[1]), jnp.maximum(red[2], red[3]))
         best_r = jnp.where(
             jnp.maximum(red[0], red[1]) >= jnp.maximum(red[2], red[3]),
@@ -483,9 +573,14 @@ def _viterbi_fwd_pallas_blk(scores_tnc, stay_score: float, interpret: bool):
 
     perm = jnp.asarray(block_permutation(s))
     blk = scores_tnc.astype(jnp.float32)[..., perm]
-    r4, _ = _repeat_matrices(s)
+    combined = _use_combined(s)
+    r4 = _combined_matrices(s)[0] if combined else _repeat_matrices(s)[0]
     kernel = functools.partial(
-        _viterbi_blk_kernel, bt=bt, stay_score=float(stay_score), s4=s4
+        _viterbi_blk_kernel,
+        bt=bt,
+        stay_score=float(stay_score),
+        s4=s4,
+        combined=combined,
     )
     t_map = lambda b, t: (t, b, 0)  # noqa: E731
 
@@ -664,7 +759,11 @@ def viterbi_traceback_pallas(choices, last_state, interpret: bool = False):
     single iota compare. All VPU, no per-row matmul: ~0.5 us/row vs ~76
     us/row for the earlier one-hot @ preds [S, 4S] design."""
     t_len, n, s = choices.shape
-    bn = _pick_bn(n)
+    # wide batch tiles: the traceback is latency-bound on its serial
+    # one-hot-plane chain, so give each row as much VPU width as fits
+    bn = 1
+    while bn < 512 and n % (bn * 2) == 0:
+        bn *= 2
     # The st/mv outputs are 2-D [T, N] blocks of (bt, bn): Mosaic requires
     # the second-to-last block dim divisible by 8 for i32. T rarely has a
     # multiple-of-8 divisor, so pick bt = the largest multiple of 8 within
@@ -672,8 +771,12 @@ def viterbi_traceback_pallas(choices, last_state, interpret: bool = False):
     # appends choice==4 (stay) steps which the reverse walk crosses first
     # without moving the state — exact, and the pad rows are sliced off.
     choices = choices.astype(jnp.int8)
-    per_t = bn * s * 2  # double-buffered i8 choice blocks dominate
-    bt = max(8, (_VMEM_BUDGET // per_t) // 8 * 8)
+    # i8 blocks allocate relayout scratch beyond the double buffer (a
+    # 9 MB-budget pick measured 24.9 MB of scoped VMEM at bn=512), so this
+    # kernel budgets conservatively — per-row work is tiny and grid-step
+    # count is not the bottleneck here.
+    per_t = bn * s * 2  # double-buffered i8 choice blocks
+    bt = max(8, ((3 * 1024 * 1024) // per_t) // 8 * 8)
     bt = min(bt, -(-t_len // 8) * 8)
     t_pad = -(-t_len // bt) * bt
     if t_pad != t_len:
@@ -758,10 +861,12 @@ def _fused_fwd_blk_kernel(
     stay_factor,
     stay_score,
     s4,
+    combined,
 ):
     """Block-layout variant of _fused_fwd_kernel for large state spaces
     (sup, S=1024): scores arrive pre-permuted to c' = r*S + s, wiring via
-    the [S/4, S] repeat matrix (see the block-layout section above)."""
+    the [S/4, S] repeat matrix (see the block-layout section above), or the
+    combined [S, C] matrix for S <= 256 (hac/fast)."""
     t_idx = pl.program_id(1)
 
     @pl.when(t_idx == 0)
@@ -769,29 +874,25 @@ def _fused_fwd_blk_kernel(
         acarry_ref[:] = jnp.zeros_like(acarry_ref)
         vcarry_ref[:] = jnp.zeros_like(vcarry_ref)
 
-    s = 4 * s4
     ac = acarry_ref[:]
     vc = vcarry_ref[:]
     for i in range(bt):
+        sc = sc_ref[i].astype(jnp.float32)
         # alpha LSE step (identical numerics to _lse_fwd_blk_kernel)
         m = jnp.max(ac, axis=-1, keepdims=True)
         ec = jnp.exp(ac - m)
-        red = ec * stay_factor
-        for r in range(4):
-            ecp = _dot2(ec[:, r * s4 : (r + 1) * s4], r4_ref[:])
-            red = red + ecp * jnp.exp(sc_ref[i, :, r * s : (r + 1) * s])
+        red = _alpha_step(ec, sc, r4_ref, stay_factor, s4, combined)
         ac = m + jnp.log(red)
         # posterior row t+1
         pb = ac + beta_ref[i]
         pm = jnp.max(pb, axis=-1, keepdims=True)
         pe = jnp.exp(pb - pm)
-        posts_ref[i] = pe / jnp.sum(pe, axis=-1, keepdims=True)
+        posts_ref[i] = (pe / jnp.sum(pe, axis=-1, keepdims=True)).astype(
+            posts_ref.dtype
+        )
         # Viterbi max-plus step (identical numerics to _viterbi_blk_kernel)
         vc = vc - jnp.max(vc, axis=-1, keepdims=True)
-        red4 = []
-        for r in range(4):
-            avp = _dot2(vc[:, r * s4 : (r + 1) * s4], r4_ref[:])
-            red4.append(avp + sc_ref[i, :, r * s : (r + 1) * s])
+        red4 = _viterbi_expand(vc, sc, r4_ref, s4, combined)
         best = jnp.maximum(
             jnp.maximum(red4[0], red4[1]), jnp.maximum(red4[2], red4[3])
         )
@@ -810,35 +911,47 @@ def _fused_fwd_blk_kernel(
 
 
 @functools.partial(
-    jax.jit, static_argnames=("stay_score", "interpret", "prepermuted")
+    jax.jit,
+    static_argnames=("stay_score", "interpret", "prepermuted", "beta_shifted"),
 )
 def _fused_forward_decode_blk(
     scores_tnc, beta_full, stay_score: float, interpret: bool,
-    prepermuted: bool = False,
+    prepermuted: bool = False, beta_shifted: bool = False,
 ):
+    """``beta_shifted`` means beta_full is already the [T, N, S] shifted
+    stream (row i = beta[i+1]) from _lse_scan_pallas_blk(shifted=True).
+    Posts come out in the score dtype: a bf16 score stream (the runner's
+    TPU fast path) also writes bf16 posts — they only feed the qscore
+    calc, well within bf16, and it halves the posts HBM write + re-read."""
     t_len, n, c = scores_tnc.shape
     s = c // 4
     s4 = s // 4
-    bn = _pick_bn(n)
-    bt = _pick_bt_for(t_len, bn * (c * 4 * 2 + s * 4 * 2 + s * 4 * 2 + s * 2))
-    n_tiles, t_tiles = n // bn, t_len // bt
     stay_factor = float(np.exp(stay_score))
 
     if prepermuted:
-        blk = scores_tnc.astype(jnp.float32)
+        blk = scores_tnc
     else:
         perm = jnp.asarray(block_permutation(s))
         blk = scores_tnc.astype(jnp.float32)[..., perm]
-    r4, _ = _repeat_matrices(s)
+    posts_dtype = blk.dtype if blk.dtype == jnp.bfloat16 else jnp.float32
+    esz = blk.dtype.itemsize
+    psz = jnp.dtype(posts_dtype).itemsize
+    bn, bt = _pick_tiles(
+        t_len, n, lambda b: b * (c * esz + s * 4 + s * psz + s) * 2
+    )
+    n_tiles, t_tiles = n // bn, t_len // bt
+    combined = _use_combined(s)
+    r4 = _combined_matrices(s)[0] if combined else _repeat_matrices(s)[0]
     kernel = functools.partial(
         _fused_fwd_blk_kernel,
         bt=bt,
         stay_factor=stay_factor,
         stay_score=float(stay_score),
         s4=s4,
+        combined=combined,
     )
     t_map = lambda b, t: (t, b, 0)  # noqa: E731
-    beta_shift = beta_full[1:]
+    beta_shift = beta_full if beta_shifted else beta_full[1:]
     f = pl.pallas_call(
         kernel,
         grid=(n_tiles, t_tiles),
@@ -853,7 +966,7 @@ def _fused_forward_decode_blk(
             pl.BlockSpec((bn, s), lambda b, t: (b, 0), memory_space=pltpu.VMEM),
         ],
         out_shape=[
-            jax.ShapeDtypeStruct((t_len, n, s), jnp.float32),
+            jax.ShapeDtypeStruct((t_len, n, s), posts_dtype),
             jax.ShapeDtypeStruct((t_len, n, s), jnp.int8),
             jax.ShapeDtypeStruct((n, s), jnp.float32),
         ],
@@ -875,19 +988,38 @@ def supports_fused_decode(num_transitions: int) -> bool:
     return supports_pallas_decode(num_transitions)
 
 
-def fused_viterbi_decode(scores_tnc, stay_score: float, interpret: bool = False):
+def fused_viterbi_decode(
+    scores_tnc, stay_score: float, interpret: bool = False,
+    prepermuted: bool = False,
+):
     """(posts rows 1..T, choices, final) for the viterbi fast path: the
-    backward LSE scan + the fused forward kernel, with the sup block-layout
-    permutation done ONCE and shared by both kernels (each permute is a
-    full HBM round-trip of the largest tensor in the step)."""
+    backward LSE scan + the fused forward kernel.
+
+    ``prepermuted`` means the caller already holds block-layout scores
+    (c' = r*S + s) — the fast path: the runner bakes the permutation into
+    the CRF head's output columns (runner._permute_head), so no score
+    permutation pass runs on device at all (an XLA lane gather of the
+    [T, N, C] tensor measured ~43 ms at hac batch 512). Raw-layout input
+    routes small lattices through the dense kernels and sup through a
+    one-time on-device permute shared by both kernels."""
     stay = float(stay_score)
+    if prepermuted:
+        beta = _lse_scan_pallas_blk(
+            scores_tnc, stay, True, interpret, prepermuted=True, shifted=True
+        )
+        return _fused_forward_decode_blk(
+            scores_tnc, beta, stay, interpret, prepermuted=True,
+            beta_shifted=True,
+        )
     if _use_block_layout(scores_tnc.shape[-1]):
         s = scores_tnc.shape[-1] // 4
         perm = jnp.asarray(block_permutation(s))
         blk = scores_tnc.astype(jnp.float32)[..., perm]
-        beta = _lse_scan_pallas_blk(blk, stay, True, interpret, prepermuted=True)
+        beta = _lse_scan_pallas_blk(
+            blk, stay, True, interpret, prepermuted=True, shifted=True
+        )
         return _fused_forward_decode_blk(
-            blk, beta, stay, interpret, prepermuted=True
+            blk, beta, stay, interpret, prepermuted=True, beta_shifted=True
         )
     beta = _lse_scan_pallas(scores_tnc, stay, True, interpret)
     return fused_forward_decode_pallas(scores_tnc, beta, stay, interpret)

@@ -179,3 +179,76 @@ def test_fused_decode_shape_sweep(t, n):
     st, mv = viterbi_traceback_pallas(choices, last, interpret=True)
     np.testing.assert_array_equal(np.asarray(st), st_ref)
     np.testing.assert_array_equal(np.asarray(mv), mv_ref)
+
+
+class TestCombinedBlockLayout:
+    """hac-sized spaces (S=256) use the block-layout kernels with the
+    combined [S, C] expand matrix (one MXU pass per time-row instead of
+    four per-slot matmuls) on the runner's prepermuted fast path. Parity
+    vs the XLA scans on raw-layout scores."""
+
+    def test_prepermuted_lse_scans_match_xla(self):
+        from dorado_tpu.ops.crf_pallas import (
+            _lse_scan_pallas_blk,
+            _use_combined,
+            block_permutation,
+        )
+
+        assert _use_combined(256)
+        scores = _scores(12, 8, 1024, seed=6)
+        perm = jnp.asarray(block_permutation(256))
+        blk = scores[..., perm]
+        a_ref = np.asarray(forward_scores(scores, 2.0))
+        b_ref = np.asarray(backward_scores(scores, 2.0))
+        a_p = np.asarray(
+            _lse_scan_pallas_blk(blk, 2.0, False, True, prepermuted=True)
+        )
+        b_p = np.asarray(
+            _lse_scan_pallas_blk(blk, 2.0, True, True, prepermuted=True)
+        )
+        assert np.abs(a_p - a_ref).max() < 1e-3
+        assert np.abs(b_p - b_ref).max() < 1e-3
+
+    def test_prepermuted_fused_viterbi_decode(self):
+        from dorado_tpu.ops.crf_pallas import (
+            block_permutation,
+            fused_viterbi_decode,
+            viterbi_traceback_pallas,
+        )
+
+        scores = _scores(14, 4, 1024, seed=7)
+        perm = jnp.asarray(block_permutation(256))
+        blk = scores[..., perm]
+        alpha = forward_scores(scores, 2.0)
+        beta = backward_scores(scores, 2.0)
+        posts_ref = np.asarray(jax.nn.softmax(alpha + beta, axis=-1))[1:]
+        st_ref, mv_ref = (np.asarray(x) for x in viterbi_path(scores, 2.0))
+
+        posts, choices, final = fused_viterbi_decode(
+            blk, 2.0, interpret=True, prepermuted=True
+        )
+        assert np.abs(np.asarray(posts) - posts_ref).max() < 1e-3
+        last = jnp.argmax(final, axis=-1).astype(jnp.int32)
+        st, mv = viterbi_traceback_pallas(choices, last, interpret=True)
+        np.testing.assert_array_equal(np.asarray(st), st_ref)
+        np.testing.assert_array_equal(np.asarray(mv), mv_ref)
+
+    def test_head_permute_matches_score_permute(self):
+        """Baking block_permutation into the CRF head's output rows emits
+        the same block-layout scores as permuting raw scores after."""
+        from dorado_tpu.models.crf_model import (
+            make_crf_forward_fn,
+            init_lstm_crf_params,
+            permute_head_params,
+        )
+        from dorado_tpu.models.presets import hac_v43_config
+        from dorado_tpu.ops.crf_pallas import block_permutation
+
+        config = hac_v43_config()
+        params = init_lstm_crf_params(config, jax.random.PRNGKey(3))
+        fwd = make_crf_forward_fn(config)
+        sig = jax.random.normal(jax.random.PRNGKey(4), (2, config.stride * 32))
+        raw = np.asarray(fwd(params, sig))
+        perm = block_permutation(config.num_states)
+        permuted = np.asarray(fwd(permute_head_params(params, perm), sig))
+        np.testing.assert_allclose(raw[..., perm], permuted, rtol=1e-6, atol=1e-6)
