@@ -26,7 +26,9 @@ runner step back-to-back and block on device completion. RPC overhead
 (measured on a trivial program) is subtracted.
 
 Prints ONE JSON line: the primary metric is the e2e viterbi device
-throughput; the forward-only and beam numbers ride along in "extra".
+throughput — the CLI's DEFAULT decode path (docs/decoder_choice.md records
+the accuracy comparison that justified flipping the default from beam); the
+forward-only and beam numbers ride along in "extra".
 """
 
 from __future__ import annotations

@@ -166,7 +166,7 @@ class BasecallRunner:
         params,
         chunk_size: int | None = None,
         batch_size: int | None = None,
-        decoder: str = "beam",
+        decoder: str = "viterbi",
         compute_dtype=jnp.float32,
         use_pallas: bool | None = None,
         mesh=None,

@@ -47,9 +47,12 @@ def _add_basecaller(sub: argparse._SubParsersAction) -> None:
     p.add_argument("--overlap", type=int, default=None)
     p.add_argument(
         "--decoder",
-        choices=["beam", "viterbi", "beam-host"],
-        default="beam",
-        help="beam = reference-parity beam search; viterbi = fast exact path",
+        choices=["viterbi", "beam", "beam-host"],
+        default="viterbi",
+        help="viterbi = exact max-scoring path, the fast default (~7x beam "
+             "on TPU, not less accurate on known-truth lattices — "
+             "docs/decoder_choice.md); beam = reference-parity beam search "
+             "(use for bit-for-bit parity runs vs dorado BAMs)",
     )
     p.add_argument("--dtype", choices=["float32", "bfloat16"], default=None)
     p.add_argument(
@@ -669,7 +672,12 @@ def _add_duplex(sub: argparse._SubParsersAction) -> None:
     p.add_argument("--modified-bases-threshold", type=float, default=0.05)
     p.add_argument("-c", "--chunksize", type=int, default=None)
     p.add_argument("-b", "--batchsize", type=int, default=None)
-    p.add_argument("--decoder", choices=["beam", "viterbi", "beam-host"], default="beam")
+    p.add_argument(
+        "--decoder",
+        choices=["viterbi", "beam", "beam-host"],
+        default="viterbi",
+        help="see basecaller --decoder / docs/decoder_choice.md",
+    )
     p.add_argument("--overlap", type=int, default=None)
     p.add_argument("--min-qscore", type=float, default=0.0)
     p.add_argument("--read-ids", default=None)

@@ -45,7 +45,7 @@ class DuplexPipeline:
         stereo_params,
         chunk_size: int | None = None,
         batch_size: int | None = None,
-        decoder: str = "beam",
+        decoder: str = "viterbi",
         compute_dtype=None,
         overlap: int | None = None,
         modbase_caller=None,

@@ -126,6 +126,32 @@ def _pad_to(x: int, m: int) -> int:
     return -(-x // m) * m
 
 
+def rope_ext_tables(t_len: int, head_dim: int, nhead: int, theta: float):
+    """Full-width RoPE tables + swap row-permutation for the extended-wqkv
+    attention path (ops/attention.py::windowed_attention_ext).
+
+    Returns (ct [T, 2*H*D] f32, st [T, 2*H*D] f32, perm [2*H*D] int):
+    rope(qk)[c] = ct[t, c] * qk[c] + st[t, c] * qk[perm[c]] — numerically
+    identical to apply_rope's non-interleaved-halves form, but expressed so
+    the swap can be baked into the wqkv weight ROWS (free at trace time)
+    and the rotation becomes a contiguous-slice FMA with no channel
+    shuffles in the compiled step."""
+    d = head_dim
+    hd2 = 2 * nhead * d
+    inv_freq = 1.0 / (theta ** (np.arange(0, d, 2, dtype=np.float64) / d))
+    freqs = np.arange(t_len, dtype=np.float64)[:, None] * inv_freq[None, :]
+    cos = np.cos(freqs).astype(np.float32)
+    sin = np.sin(freqs).astype(np.float32)
+    c = np.arange(hd2)
+    within = c % d
+    cidx = within % (d // 2)
+    sign = np.where(within < d // 2, -1.0, 1.0).astype(np.float32)
+    ct = cos[:, cidx]
+    st = sin[:, cidx] * sign[None, :]
+    perm = np.where(within < d // 2, c + d // 2, c - d // 2).astype(np.int32)
+    return jnp.asarray(ct), jnp.asarray(st), perm
+
+
 def windowed_attention(
     q: jnp.ndarray,
     k: jnp.ndarray,
@@ -171,30 +197,45 @@ def tx_encoder_layer(
     nhead: int,
     alpha: float,
     win: tuple[int, int],
+    rope_ext: tuple[jnp.ndarray, jnp.ndarray] | None = None,
 ) -> jnp.ndarray:
     n, t, c = x.shape
     dtype = x.dtype
     head_dim = c // nhead
 
-    qkv = jnp.einsum(
-        "ntc,gc->ntg", x, p["wqkv"].astype(dtype), preferred_element_type=jnp.float32
-    ).astype(dtype)
-
-    # the fused kernel is Mosaic (TPU-only); its strips cover windows up to
-    # BQ=256 keys each side
-    if jax.default_backend() != "tpu" or max(win) > 256:
+    # the fused kernel is Mosaic (TPU-only); its kv blocks cover windows up
+    # to 128 keys each side (sup uses [127, 128])
+    if jax.default_backend() != "tpu" or max(win) > 128:
+        qkv = jnp.einsum(
+            "ntc,gc->ntg", x, p["wqkv"].astype(dtype),
+            preferred_element_type=jnp.float32,
+        ).astype(dtype)
         qkv4 = qkv.reshape(n, t, 3, nhead, head_dim)
         q = apply_rope(qkv4[:, :, 0], cos, sin)
         k = apply_rope(qkv4[:, :, 1], cos, sin)
         v = qkv4[:, :, 2]
         attn = windowed_attention(q, k, v, win[0], win[1]).reshape(n, t, c)
+    elif rope_ext is not None and "wqkv_ext" in p:
+        # extended projection [q|k|v|q_swap|k_swap]: RoPE is a contiguous
+        # full-width FMA, banded attention in Pallas
+        # (ops/attention.py windowed_attention_ext)
+        from dorado_tpu.ops.attention import windowed_attention_ext
+
+        qkv_ext = jnp.einsum(
+            "ntc,gc->ntg", x, p["wqkv_ext"].astype(dtype),
+            preferred_element_type=jnp.float32,
+        ).astype(dtype)
+        ct, st = rope_ext
+        attn = windowed_attention_ext(qkv_ext, ct, st, nhead, win[0], win[1])
     else:
-        # fully fused Pallas banded attention: consumes the raw qkv
-        # projection (no reshape/slice/transpose materialisation), applies
-        # RoPE in VMEM, and the logits/softmax never touch HBM
-        # (ops/attention.py windowed_attention_qkv_rope)
+        # fused Pallas banded attention on the plain qkv projection; RoPE
+        # as an XLA pre-pass (ops/attention.py windowed_attention_qkv_rope)
         from dorado_tpu.ops.attention import windowed_attention_qkv_rope
 
+        qkv = jnp.einsum(
+            "ntc,gc->ntg", x, p["wqkv"].astype(dtype),
+            preferred_element_type=jnp.float32,
+        ).astype(dtype)
         attn = windowed_attention_qkv_rope(qkv, cos, sin, nhead, win[0], win[1])
     attn = (
         jnp.einsum(
@@ -238,13 +279,31 @@ def tx_forward(
     cos, sin = rope_tables(t_len, tx.d_model // tx.nhead, tx.theta)
 
     layers = params["layers"]
+    rope_ext = None
+    if jax.default_backend() == "tpu" and max(tx.attn_window) <= 128:
+        # extend each layer's wqkv with the RoPE-swap row permutation of its
+        # q/k rows (free: a static row gather of the params, hoisted out of
+        # the layer scan) so the per-layer rotation is shuffle-free
+        ct, st, perm = rope_ext_tables(
+            t_len, tx.d_model // tx.nhead, tx.nhead, tx.theta
+        )
+        rope_ext = (ct, st)
+        hd2 = 2 * tx.d_model
+        layers = [
+            {**p, "wqkv_ext": jnp.concatenate([p["wqkv"], p["wqkv"][perm]], axis=0)}
+            if "wqkv" in p and p["wqkv"].shape[0] >= hd2
+            else p
+            for p in layers
+        ]
+
     same_structure = len({tuple(sorted(p.keys())) for p in layers}) == 1
     if same_structure and len(layers) > 1:
         stacked = jax.tree_util.tree_map(lambda *xs: jnp.stack(xs), *layers)
 
         def body(carry, layer_p):
             out = tx_encoder_layer(
-                layer_p, carry, cos, sin, tx.nhead, tx.deepnorm_alpha, tx.attn_window
+                layer_p, carry, cos, sin, tx.nhead, tx.deepnorm_alpha,
+                tx.attn_window, rope_ext=rope_ext,
             )
             return out, None
 
@@ -252,7 +311,8 @@ def tx_forward(
     else:
         for p in layers:
             x = tx_encoder_layer(
-                p, x, cos, sin, tx.nhead, tx.deepnorm_alpha, tx.attn_window
+                p, x, cos, sin, tx.nhead, tx.deepnorm_alpha, tx.attn_window,
+                rope_ext=rope_ext,
             )
 
     # LinearUpsample: [N, T', C] -> [N, scale*T', C] (nn/LinearUpsample.cpp)

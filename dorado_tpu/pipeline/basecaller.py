@@ -88,7 +88,7 @@ class BasecallerPipeline:
         chunk_size: int | None = None,
         batch_size: int | None = None,
         overlap: int | None = None,
-        decoder: str = "beam",
+        decoder: str = "viterbi",
         emit_moves: bool = False,
         compute_dtype=None,
         use_pallas: bool | None = None,

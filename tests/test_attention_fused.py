@@ -58,3 +58,36 @@ def test_qkv_rope_fused_matches_reference_path(n, t, h, d, wu, wl):
     ref = np.asarray(windowed_attention(q, k, v, wu, wl)).reshape(n, t, h * d)
     got = np.asarray(windowed_attention_qkv_rope(qkv, cos, sin, h, wu, wl))
     np.testing.assert_allclose(got, ref, atol=2e-5)
+
+
+@pytest.mark.parametrize(
+    "n,t,h,d,wu,wl",
+    [
+        (2, 1024, 8, 64, 127, 128),  # sup production shape
+        (1, 300, 4, 64, 127, 128),  # T not a multiple of BQ
+        (1, 97, 2, 64, 30, 40),  # T < BQ
+    ],
+)
+def test_ext_path_matches_reference(n, t, h, d, wu, wl):
+    """The extended-wqkv path (swap baked into weight rows + full-width FMA
+    rope + banded kernel) matches the explicit rope + strip-loop path."""
+    from dorado_tpu.models.tx_model import apply_rope, rope_ext_tables, rope_tables
+    from dorado_tpu.ops.attention import windowed_attention_ext
+
+    rng = np.random.RandomState(3 * t + h)
+    hd = h * d
+    x = jnp.asarray(rng.randn(n, t, 128).astype(np.float32))
+    wqkv = jnp.asarray(rng.randn(3 * hd, 128).astype(np.float32) * 0.1)
+    qkv = jnp.einsum("ntc,gc->ntg", x, wqkv)
+    cos, sin = rope_tables(t, d, 10000.0)
+    q4 = qkv.reshape(n, t, 3, h, d)
+    q = apply_rope(q4[:, :, 0], cos, sin)
+    k = apply_rope(q4[:, :, 1], cos, sin)
+    v = q4[:, :, 2]
+    ref = np.asarray(windowed_attention(q, k, v, wu, wl)).reshape(n, t, hd)
+
+    ct, st, perm = rope_ext_tables(t, d, h, 10000.0)
+    wext = jnp.concatenate([wqkv, wqkv[perm]], axis=0)
+    qkv_ext = jnp.einsum("ntc,gc->ntg", x, wext)
+    got = np.asarray(windowed_attention_ext(qkv_ext, ct, st, h, wu, wl))
+    np.testing.assert_allclose(got, ref, atol=2e-5)
