@@ -143,9 +143,10 @@ class TorchScriptScorer:
     def __init__(self, model_path: str):
         import torch
 
+        from dorado_tpu.utils.torchscript import load_torchscript
+
         self._torch = torch
-        self.module = torch.jit.load(model_path, map_location="cpu")
-        self.module.eval()
+        self.module = load_torchscript(model_path)
 
     def predict(self, wf) -> str:
         torch = self._torch

@@ -130,10 +130,9 @@ class TorchScriptConsensusModel:
     """
 
     def __init__(self, model_path):
-        import torch
+        from dorado_tpu.utils.torchscript import load_torchscript
 
-        self.module = torch.jit.load(str(model_path), map_location="cpu")
-        self.module.eval()
+        self.module = load_torchscript(model_path)
 
     def __call__(self, params, feats):
         import numpy as np

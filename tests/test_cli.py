@@ -556,7 +556,9 @@ class TestCliSurface:
 
         mdir = tmp_path / "tsmodel"
         mdir.mkdir()
-        torch.jit.script(TinyConsensus()).save(str(mdir / "model.pt"))
+        from dorado_tpu.utils.torchscript import script_and_save
+
+        script_and_save(TinyConsensus(), mdir / "model.pt")
 
         ref, reads = ref_and_reads
         r = run_cli(

@@ -182,7 +182,9 @@ class TestTorchScriptScorer:
                 return bases, logits
 
         path = tmp_path / "fake.pt"
-        torch.jit.script(Fake()).save(str(path))
+        from dorado_tpu.utils.torchscript import script_and_save
+
+        script_and_save(Fake(), path)
 
         from dorado_tpu.correct.nn_model import TorchScriptScorer
 

@@ -45,7 +45,9 @@ class TestTensorFile:
         torch = pytest.importorskip("torch")
         t = np.random.randn(16, 8).astype(np.float32)
         save_tensor_file(tmp_path / "w.tensor", [t])
-        m = torch.jit.load(str(tmp_path / "w.tensor"))
+        from dorado_tpu.utils.torchscript import load_torchscript
+
+        m = load_torchscript(tmp_path / "w.tensor")
         got = dict(m.named_parameters())["0"].detach().numpy()
         assert np.array_equal(t, got)
 
@@ -108,7 +110,9 @@ class TestReferenceSerializedLayout:
                 super().__init__()
                 setattr(self, "0", torch.nn.Parameter(torch.from_numpy(arr)))
 
-        torch.jit.save(torch.jit.script(M()), str(path))
+        from dorado_tpu.utils.torchscript import script_and_save
+
+        script_and_save(M(), path)
 
     def test_fast_lstm_model(self, tmp_path):
         torch = pytest.importorskip("torch")
