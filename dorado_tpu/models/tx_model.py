@@ -93,6 +93,66 @@ def init_tx_params(config: BasecallModelConfig, key: jax.Array, dtype=jnp.float3
 # ---------------------------------------------------------------------------
 
 
+def _quantize_rows(w: jnp.ndarray) -> tuple[jnp.ndarray, jnp.ndarray]:
+    """Symmetric int8 per-output-channel weight quantisation.
+
+    w [O, K] -> (w_q int8 [O, K], w_scale f32 [O]) with
+    w ~= w_q * w_scale[:, None]. The row-wise amax/127 scale keeps each
+    output channel's dynamic range independent (the standard W8 recipe;
+    the reference ships int8 Koi kernels for its LSTM models the same
+    way, CudaCaller.cpp precision selection)."""
+    wf = jnp.asarray(w, jnp.float32)
+    amax = jnp.max(jnp.abs(wf), axis=-1)
+    scale = jnp.maximum(amax, 1e-12) / 127.0
+    wq = jnp.clip(jnp.round(wf / scale[:, None]), -127, 127).astype(jnp.int8)
+    return wq, scale
+
+
+def quantize_tx_params(params: Params) -> Params:
+    """Return a copy of the tx params with each encoder layer's three fat
+    matmuls (wqkv/wqkv_ext, fc1, fc2) replaced by int8 weights + f32
+    per-channel scales. The residual stream, norms, attention, output
+    projection, upsample and CRF head stay in the compute dtype.
+
+    The v5e MXU runs int8 at 2x the bf16 rate (394 vs 197 TOPS); with
+    dynamic per-token activation scales the W8A8 path reproduces the bf16
+    basecalls to >99.9% identity on model-generated scores
+    (docs/decoder_choice.md) — the TPU analogue of the reference's
+    quantised Koi LSTM kernels."""
+    out = dict(params)
+    layers = []
+    for p in params["layers"]:
+        q = {k: v for k, v in p.items() if k not in ("wqkv", "fc1", "fc2")}
+        for name in ("wqkv", "fc1", "fc2"):
+            wq, ws = _quantize_rows(p[name])
+            q[name + "_q"] = wq
+            q[name + "_s"] = ws
+        layers.append(q)
+    out["layers"] = layers
+    return out
+
+
+def _q8_act(x: jnp.ndarray) -> tuple[jnp.ndarray, jnp.ndarray]:
+    """Dynamic symmetric per-token int8 activation quantisation:
+    [N, T, K] -> (int8 [N, T, K], f32 scale [N, T, 1])."""
+    xf = x.astype(jnp.float32)
+    amax = jnp.max(jnp.abs(xf), axis=-1, keepdims=True)
+    scale = jnp.maximum(amax, 1e-12) / 127.0
+    xq = jnp.round(xf / scale).astype(jnp.int8)
+    return xq, scale
+
+
+def _mm_q8(
+    xq: jnp.ndarray, x_scale: jnp.ndarray, wq: jnp.ndarray, w_scale: jnp.ndarray
+) -> jnp.ndarray:
+    """int8 x int8 -> int32 matmul with f32 dequant epilogue.
+    xq [N, T, K], wq [O, K] -> f32 [N, T, O]."""
+    acc = jax.lax.dot_general(
+        xq, wq, (((2,), (1,)), ((), ())), preferred_element_type=jnp.int32
+    )
+    return acc.astype(jnp.float32) * x_scale * w_scale[None, None, :]
+
+
 def rms_norm(x: jnp.ndarray, weight: jnp.ndarray, eps: float = 1e-5) -> jnp.ndarray:
     """x * rsqrt(mean(x^2) + eps) * weight (nn/RMSNorm.cpp:11-15)."""
     dtype = x.dtype
@@ -198,6 +258,7 @@ def tx_encoder_layer(
     alpha: float,
     win: tuple[int, int],
     rope_ext: tuple[jnp.ndarray, jnp.ndarray] | None = None,
+    rope_hp: jnp.ndarray | None = None,
 ) -> jnp.ndarray:
     n, t, c = x.shape
     dtype = x.dtype
@@ -206,25 +267,53 @@ def tx_encoder_layer(
     # the fused kernel is Mosaic (TPU-only); its kv blocks cover windows up
     # to 128 keys each side (sup uses [127, 128])
     if jax.default_backend() != "tpu" or max(win) > 128:
-        qkv = jnp.einsum(
-            "ntc,gc->ntg", x, p["wqkv"].astype(dtype),
-            preferred_element_type=jnp.float32,
-        ).astype(dtype)
+        if "wqkv_q" in p:
+            xq, xs = _q8_act(x)
+            qkv = _mm_q8(xq, xs, p["wqkv_q"], p["wqkv_s"]).astype(dtype)
+        else:
+            qkv = jnp.einsum(
+                "ntc,gc->ntg", x, p["wqkv"].astype(dtype),
+                preferred_element_type=jnp.float32,
+            ).astype(dtype)
         qkv4 = qkv.reshape(n, t, 3, nhead, head_dim)
         q = apply_rope(qkv4[:, :, 0], cos, sin)
         k = apply_rope(qkv4[:, :, 1], cos, sin)
         v = qkv4[:, :, 2]
         attn = windowed_attention(q, k, v, win[0], win[1]).reshape(n, t, c)
-    elif rope_ext is not None and "wqkv_ext" in p:
+    elif "wqkv_hp" in p or "wqkv_hp_q" in p:
+        # plain-width qkv with halves-major q/k rows: RoPE runs inside the
+        # banded kernel on VMEM tiles (ops/attention.py
+        # windowed_attention_halfperm); no rotated q/k copy in HBM and no
+        # duplicated swap rows in the projection
+        from dorado_tpu.ops.attention import windowed_attention_halfperm
+
+        if "wqkv_hp_q" in p:
+            xq, xs = _q8_act(x)
+            qkv = _mm_q8(xq, xs, p["wqkv_hp_q"], p["wqkv_hp_s"]).astype(dtype)
+        else:
+            qkv = jnp.einsum(
+                "ntc,gc->ntg", x, p["wqkv_hp"].astype(dtype),
+                preferred_element_type=jnp.float32,
+            ).astype(dtype)
+        attn = windowed_attention_halfperm(
+            qkv, rope_hp, nhead, win[0], win[1]
+        )
+    elif rope_ext is not None and ("wqkv_ext" in p or "wqkv_ext_q" in p):
         # extended projection [q|k|v|q_swap|k_swap]: RoPE is a contiguous
         # full-width FMA, banded attention in Pallas
         # (ops/attention.py windowed_attention_ext)
         from dorado_tpu.ops.attention import windowed_attention_ext
 
-        qkv_ext = jnp.einsum(
-            "ntc,gc->ntg", x, p["wqkv_ext"].astype(dtype),
-            preferred_element_type=jnp.float32,
-        ).astype(dtype)
+        if "wqkv_ext_q" in p:
+            xq, xs = _q8_act(x)
+            qkv_ext = _mm_q8(
+                xq, xs, p["wqkv_ext_q"], p["wqkv_ext_s"]
+            ).astype(dtype)
+        else:
+            qkv_ext = jnp.einsum(
+                "ntc,gc->ntg", x, p["wqkv_ext"].astype(dtype),
+                preferred_element_type=jnp.float32,
+            ).astype(dtype)
         ct, st = rope_ext
         attn = windowed_attention_ext(qkv_ext, ct, st, nhead, win[0], win[1])
     else:
@@ -249,14 +338,24 @@ def tx_encoder_layer(
 
     x = rms_norm(attn + x * jnp.asarray(alpha, dtype), p["norm1"])
 
-    ff = jnp.einsum(
-        "ntc,fc->ntf", x, p["fc1"].astype(dtype), preferred_element_type=jnp.float32
-    ).astype(dtype)
+    if "fc1_q" in p:
+        xq, xs = _q8_act(x)
+        ff = _mm_q8(xq, xs, p["fc1_q"], p["fc1_s"]).astype(dtype)
+    else:
+        ff = jnp.einsum(
+            "ntc,fc->ntf", x, p["fc1"].astype(dtype),
+            preferred_element_type=jnp.float32,
+        ).astype(dtype)
     y, gate = jnp.split(ff, 2, axis=-1)
     t_act = jax.nn.silu(gate.astype(jnp.float32)).astype(dtype) * y
-    f = jnp.einsum(
-        "ntf,cf->ntc", t_act, p["fc2"].astype(dtype), preferred_element_type=jnp.float32
-    ).astype(dtype)
+    if "fc2_q" in p:
+        tq, ts = _q8_act(t_act)
+        f = _mm_q8(tq, ts, p["fc2_q"], p["fc2_s"]).astype(dtype)
+    else:
+        f = jnp.einsum(
+            "ntf,cf->ntc", t_act, p["fc2"].astype(dtype),
+            preferred_element_type=jnp.float32,
+        ).astype(dtype)
 
     return rms_norm(f + x * jnp.asarray(alpha, dtype), p["norm2"])
 
@@ -280,7 +379,42 @@ def tx_forward(
 
     layers = params["layers"]
     rope_ext = None
-    if jax.default_backend() == "tpu" and max(tx.attn_window) <= 128:
+    rope_hp = None
+    import os
+
+    attn_variant = os.environ.get("DORADO_TPU_TX_ATTN", "ext")
+    if (
+        jax.default_backend() == "tpu"
+        and max(tx.attn_window) <= 128
+        and attn_variant == "hp"
+    ):
+        # A/B variant (measured SLOWER than ext on v5e: the in-kernel
+        # rotation + per-half K=32 logits matmuls cost 2.48 ms/layer vs
+        # ext's 1.02, more than the 67 GFLOP/layer the plain-width
+        # projection saves): halves-major q/k rows with RoPE inside the
+        # banded kernel (ops/attention.py windowed_attention_halfperm).
+        from dorado_tpu.ops.attention import rope_half_tables, rope_halfperm
+
+        head_dim = tx.d_model // tx.nhead
+        rope_hp = rope_half_tables(t_len, head_dim, tx.nhead, tx.theta)
+        hp = rope_halfperm(tx.nhead, head_dim)
+        hd = tx.d_model
+        rows = np.concatenate([hp, hd + hp, 2 * hd + np.arange(hd)])
+
+        def to_hp(p):
+            # the row permutation commutes with per-row int8 quantisation
+            if "wqkv_q" in p and p["wqkv_q"].shape[0] == 3 * hd:
+                return {
+                    **p,
+                    "wqkv_hp_q": p["wqkv_q"][rows],
+                    "wqkv_hp_s": p["wqkv_s"][rows],
+                }
+            if "wqkv" in p and p["wqkv"].shape[0] == 3 * hd:
+                return {**p, "wqkv_hp": p["wqkv"][rows]}
+            return p
+
+        layers = [to_hp(p) for p in layers]
+    elif jax.default_backend() == "tpu" and max(tx.attn_window) <= 128:
         # extend each layer's wqkv with the RoPE-swap row permutation of its
         # q/k rows (free: a static row gather of the params, hoisted out of
         # the layer scan) so the per-layer rotation is shuffle-free
@@ -289,12 +423,30 @@ def tx_forward(
         )
         rope_ext = (ct, st)
         hd2 = 2 * tx.d_model
-        layers = [
-            {**p, "wqkv_ext": jnp.concatenate([p["wqkv"], p["wqkv"][perm]], axis=0)}
-            if "wqkv" in p and p["wqkv"].shape[0] >= hd2
-            else p
-            for p in layers
-        ]
+
+        def extend(p):
+            # the RoPE-swap row permutation commutes with per-row int8
+            # quantisation, so the quantised path permutes rows + scales
+            if "wqkv_q" in p and p["wqkv_q"].shape[0] >= hd2:
+                return {
+                    **p,
+                    "wqkv_ext_q": jnp.concatenate(
+                        [p["wqkv_q"], p["wqkv_q"][perm]], axis=0
+                    ),
+                    "wqkv_ext_s": jnp.concatenate(
+                        [p["wqkv_s"], p["wqkv_s"][perm]], axis=0
+                    ),
+                }
+            if "wqkv" in p and p["wqkv"].shape[0] >= hd2:
+                return {
+                    **p,
+                    "wqkv_ext": jnp.concatenate(
+                        [p["wqkv"], p["wqkv"][perm]], axis=0
+                    ),
+                }
+            return p
+
+        layers = [extend(p) for p in layers]
 
     same_structure = len({tuple(sorted(p.keys())) for p in layers}) == 1
     if same_structure and len(layers) > 1:
@@ -303,7 +455,7 @@ def tx_forward(
         def body(carry, layer_p):
             out = tx_encoder_layer(
                 layer_p, carry, cos, sin, tx.nhead, tx.deepnorm_alpha,
-                tx.attn_window, rope_ext=rope_ext,
+                tx.attn_window, rope_ext=rope_ext, rope_hp=rope_hp,
             )
             return out, None
 
@@ -312,7 +464,7 @@ def tx_forward(
         for p in layers:
             x = tx_encoder_layer(
                 p, x, cos, sin, tx.nhead, tx.deepnorm_alpha, tx.attn_window,
-                rope_ext=rope_ext,
+                rope_ext=rope_ext, rope_hp=rope_hp,
             )
 
     # LinearUpsample: [N, T', C] -> [N, scale*T', C] (nn/LinearUpsample.cpp)

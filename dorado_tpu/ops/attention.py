@@ -171,7 +171,7 @@ def _band_bias_at(
 
 def _attn_banded_kernel(
     q_ref, k0_ref, k1_ref, k2_ref, k3_ref, v0_ref, v1_ref, v2_ref, v3_ref,
-    o_ref,
+    o_ref, bias_ref,
     *, h: int, d: int, t: int, win_upper: int, win_lower: int, ref_elems: int,
 ):
     """Banded attention over pre-rotated q/k (RoPE runs as one fused
@@ -186,31 +186,42 @@ def _attn_banded_kernel(
     span: the window (<= 128 per side) of any 128 queries is fully covered,
     and no wider logits are ever formed. Versus the naive full-channel
     prev/centre/next form this is ~3x less HBM traffic and ~2x fewer
-    logit/exp FLOPs."""
-    s = pl.program_id(1)
+    logit/exp FLOPs.
+
+    The grid is (strips, batch) with batch innermost, so the strip's band
+    bias (identical for every batch row) is built once into VMEM scratch at
+    b == 0 and reused for the whole batch sweep — the per-cell iota/compare
+    bias construction measured ~25% of the kernel at sup shapes."""
+    s = pl.program_id(0)
+    b = pl.program_id(1)
     scale = 1.0 / np.sqrt(d)
 
     k_refs = (k0_ref, k1_ref, k2_ref, k3_ref)
     v_refs = (v0_ref, v1_ref, v2_ref, v3_ref)
 
-    # one bias for the whole strip (shared across heads). One fat
-    # [BQ, 4*BK] matmul per head beats two half-strip [BK, 3*BK] ones
-    # (fewer, larger MXU ops win over the ~33% extra masked band compute —
-    # 0.57 vs 0.71 ms/layer measured at sup shapes).
-    bias = _band_bias_at(
-        s * BQ, (2 * s - 1) * BK, BQ, 4 * BK,
-        t, win_upper, win_lower, ref_elems,
-    )
+    # one bias for the whole strip (shared across heads AND batch rows).
+    # One fat [BQ, 4*BK] matmul per head beats two half-strip [BK, 3*BK]
+    # ones (fewer, larger MXU ops win over the ~33% extra masked band
+    # compute — 0.57 vs 0.71 ms/layer measured at sup shapes).
+    @pl.when(b == 0)
+    def _():
+        bias_ref[:] = _band_bias_at(
+            s * BQ, (2 * s - 1) * BK, BQ, 4 * BK,
+            t, win_upper, win_lower, ref_elems,
+        )
+
+    bias = bias_ref[:]
+    # concatenate the kv blocks once across all heads ([4*BK, H*D]); the
+    # per-head [4*BK, d] operands below are then free channel slices
+    # instead of 2*h separate 4-way sublane concats
+    k_all = jnp.concatenate([k_refs[i][0] for i in range(4)], axis=0)
+    v_all = jnp.concatenate([v_refs[i][0] for i in range(4)], axis=0)
 
     for h_i in range(h):
         sl = slice(h_i * d, (h_i + 1) * d)
         q = q_ref[0][:, sl].astype(jnp.float32)
-        k = jnp.concatenate(
-            [k_refs[i][0][:, sl] for i in range(4)], axis=0
-        ).astype(jnp.float32)  # [4*BK, D]
-        v = jnp.concatenate(
-            [v_refs[i][0][:, sl] for i in range(4)], axis=0
-        ).astype(jnp.float32)
+        k = k_all[:, sl].astype(jnp.float32)  # [4*BK, D]
+        v = v_all[:, sl].astype(jnp.float32)
         logits = (
             jnp.dot(q, k.T, preferred_element_type=jnp.float32) * scale + bias
         )
@@ -319,6 +330,208 @@ def windowed_attention_ext(
     )
 
 
+def rope_halfperm(nhead: int, head_dim: int) -> np.ndarray:
+    """Row permutation taking a natural [H*D]-ordered q (or k) projection to
+    *halves-major* order: [e(h0)|e(h1)|...|e(h7) | o(h0)|...|o(h7)], where
+    e/o are the first/second halves of each head's channels (the
+    non-interleaved RoPE halves of RotaryEmbeddingImpl::forward). In this
+    order the RoPE swap partner of every channel lives exactly H*D/2
+    channels away, so the in-kernel swap is one full-width 256-lane block
+    concat instead of per-head 32-lane shuffles."""
+    d2 = head_dim // 2
+    idx = []
+    for half in (0, 1):
+        for h in range(nhead):
+            base = h * head_dim + half * d2
+            idx.extend(range(base, base + d2))
+    return np.asarray(idx, np.int32)
+
+
+def rope_half_tables(t_len: int, head_dim: int, nhead: int, theta: float):
+    """[2, T, H*D] f32 stacked (ct, st) tables for halves-major q/k:
+    rot(x) = ct * x + st * swap256(x) with swap256 the half-block swap."""
+    d2 = head_dim // 2
+    hd = nhead * head_dim
+    inv_freq = 1.0 / (
+        theta ** (np.arange(0, head_dim, 2, dtype=np.float64) / head_dim)
+    )
+    freqs = np.arange(t_len, dtype=np.float64)[:, None] * inv_freq[None, :]
+    cos = np.cos(freqs).astype(np.float32)  # [T, d2]
+    sin = np.sin(freqs).astype(np.float32)
+    p = np.arange(hd)
+    i = p % d2
+    ct = cos[:, i]
+    st = np.where(p[None, :] < hd // 2, -sin[:, i], sin[:, i])
+    return jnp.asarray(np.stack([ct, st]))
+
+
+def _attn_rope_kernel(
+    q_ref, k0_ref, k1_ref, k2_ref, k3_ref, v0_ref, v1_ref, v2_ref, v3_ref,
+    ctq_ref, stq_ref,
+    ctk0_ref, stk0_ref, ctk1_ref, stk1_ref,
+    ctk2_ref, stk2_ref, ctk3_ref, stk3_ref,
+    o_ref, bias_ref,
+    *, h: int, d: int, t: int, win_upper: int, win_lower: int, ref_elems: int,
+):
+    """Banded attention with RoPE *inside* the kernel over halves-major
+    q/k (see rope_halfperm): the rotation is a full-width f32 FMA with a
+    256-lane block swap, computed on the VMEM-resident strip/blocks, so no
+    rotated copy of q/k ever round-trips HBM and the qkv projection carries
+    no duplicated swap rows (the ext design paid +2*H*D matmul channels,
+    ~67 GFLOP/layer at sup shapes, for the same effect).
+
+    Per head the logits split into the e/o half contributions —
+    q_e @ k_e^T + q_o @ k_o^T over two contiguous 32-channel slices —
+    which equals the natural-order 64-channel dot exactly."""
+    s = pl.program_id(0)
+    b = pl.program_id(1)
+    scale = 1.0 / np.sqrt(d)
+    d2 = d // 2
+    hd = h * d
+    hd2 = hd // 2
+
+    @pl.when(b == 0)
+    def _():
+        bias_ref[:] = _band_bias_at(
+            s * BQ, (2 * s - 1) * BK, BQ, 4 * BK,
+            t, win_upper, win_lower, ref_elems,
+        )
+
+    bias = bias_ref[:]
+
+    def rot(x, ct, st):
+        xf = x.astype(jnp.float32)
+        sw = jnp.concatenate([xf[:, hd2:], xf[:, :hd2]], axis=1)
+        return (ct * xf + st * sw).astype(x.dtype)
+
+    q = rot(q_ref[0], ctq_ref[0], stq_ref[0])  # [BQ, hd] halves-major
+    k_refs = (k0_ref, k1_ref, k2_ref, k3_ref)
+    ctk = (ctk0_ref, ctk1_ref, ctk2_ref, ctk3_ref)
+    stk = (stk0_ref, stk1_ref, stk2_ref, stk3_ref)
+    k = jnp.concatenate(
+        [rot(k_refs[i][0], ctk[i][0], stk[i][0]) for i in range(4)], axis=0
+    )  # [4*BK, hd] halves-major
+    v_refs = (v0_ref, v1_ref, v2_ref, v3_ref)
+    v_all = jnp.concatenate([v_refs[i][0] for i in range(4)], axis=0)
+
+    for h_i in range(h):
+        e = slice(h_i * d2, (h_i + 1) * d2)
+        o = slice(hd2 + h_i * d2, hd2 + (h_i + 1) * d2)
+        logits = (
+            jnp.dot(
+                q[:, e].astype(jnp.float32), k[:, e].T.astype(jnp.float32),
+                preferred_element_type=jnp.float32,
+            )
+            + jnp.dot(
+                q[:, o].astype(jnp.float32), k[:, o].T.astype(jnp.float32),
+                preferred_element_type=jnp.float32,
+            )
+        ) * scale + bias
+        m = logits.max(axis=-1, keepdims=True)
+        p = jnp.exp(logits - m)
+        vh = v_all[:, h_i * d : (h_i + 1) * d].astype(jnp.float32)
+        out = jnp.dot(p, vh, preferred_element_type=jnp.float32)
+        o_ref[0, :, h_i * d : (h_i + 1) * d] = (
+            out / p.sum(axis=-1, keepdims=True)
+        ).astype(o_ref.dtype)
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("nhead", "win_upper", "win_lower", "num_splits", "interpret"),
+)
+def windowed_attention_halfperm(
+    qkv: jnp.ndarray,  # [N, T, 3*H*D], q/k rows in halves-major order
+    tabs: jnp.ndarray,  # [2, T, H*D] stacked (ct, st) from rope_half_tables
+    nhead: int,
+    win_upper: int,
+    win_lower: int,
+    num_splits: int = 12,
+    interpret: bool | None = None,
+) -> jnp.ndarray:
+    """Production attention input stage: consumes the plain-width qkv
+    projection with halves-major q/k rows (rope_halfperm applied to the
+    weight rows at trace time — free), rotates q/k in VMEM, and computes
+    the banded softmax-attention. Output is [N, T, H*D] in natural head
+    order (v and the output layout are untouched by the permutation).
+    Band semantics identical to windowed_attention_fused (incl. the
+    reference 12-strip truncation)."""
+    n, t, g = qkv.shape
+    hd = g // 3
+    d = hd // nhead
+    if win_lower > BK or win_upper > BK:
+        raise ValueError("window <= 128 per side required")
+    if interpret is None:
+        interpret = jax.default_backend() != "tpu"
+    num_strips = -(-t // BQ)
+    t_pad = num_strips * BQ
+    if t_pad != t:
+        qkv = jnp.pad(qkv, ((0, 0), (0, t_pad - t), (0, 0)))
+        tabs = jnp.pad(tabs, ((0, 0), (0, t_pad - t), (0, 0)))
+    num_kv = t_pad // BK
+    ref_elems = -(-t // num_splits)
+    ref_elems += (-ref_elems) % 4
+
+    def q_map(s, b):
+        return (b, s, 0)
+
+    def kv_map(i, which):
+        def f(s, b):
+            return (b, jnp.clip(2 * s - 1 + i, 0, num_kv - 1), which)
+
+        return f
+
+    def tab_q(which):
+        return lambda s, b: (which, s, 0)
+
+    def tab_k(i, which):
+        return lambda s, b: (which, jnp.clip(2 * s - 1 + i, 0, num_kv - 1), 0)
+
+    kernel = functools.partial(
+        _attn_rope_kernel,
+        h=nhead, d=d, t=t, win_upper=win_upper, win_lower=win_lower,
+        ref_elems=ref_elems,
+    )
+    qblock = (1, BQ, hd)
+    kvblock = (1, BK, hd)
+    in_specs = [pl.BlockSpec(qblock, q_map, memory_space=pltpu.VMEM)]
+    in_specs += [
+        pl.BlockSpec(kvblock, kv_map(i, 1), memory_space=pltpu.VMEM)
+        for i in range(4)
+    ]
+    in_specs += [
+        pl.BlockSpec(kvblock, kv_map(i, 2), memory_space=pltpu.VMEM)
+        for i in range(4)
+    ]
+    in_specs += [
+        pl.BlockSpec((1, BQ, hd), tab_q(0), memory_space=pltpu.VMEM),
+        pl.BlockSpec((1, BQ, hd), tab_q(1), memory_space=pltpu.VMEM),
+    ]
+    for i in range(4):
+        in_specs += [
+            pl.BlockSpec((1, BK, hd), tab_k(i, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, BK, hd), tab_k(i, 1), memory_space=pltpu.VMEM),
+        ]
+    out = pl.pallas_call(
+        kernel,
+        grid=(num_strips, n),
+        in_specs=in_specs,
+        out_specs=pl.BlockSpec(qblock, q_map, memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((n, t_pad, hd), qkv.dtype),
+        scratch_shapes=[pltpu.VMEM((BQ, 4 * BK), jnp.float32)],
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("arbitrary", "arbitrary"),
+        ),
+        interpret=interpret,
+    )(
+        qkv, qkv, qkv, qkv, qkv,
+        qkv, qkv, qkv, qkv,
+        tabs, tabs,
+        tabs, tabs, tabs, tabs, tabs, tabs, tabs, tabs,
+    )
+    return out[:, :t]
+
+
 def _banded_attention_call(
     qk_rot: jnp.ndarray,  # [N, T_pad, 2*H*D] rotated q | k
     v_src: jnp.ndarray,  # [N, T_pad, v_nblocks*H*D]; v at channel block 2
@@ -338,13 +551,13 @@ def _banded_attention_call(
     ref_elems = -(-t // num_splits)
     ref_elems += (-ref_elems) % 4
 
-    def q_map(b, s):
+    def q_map(s, b):
         return (b, s, 0)
 
     def kv_map(i, which):
         # block i of strip s: global kv-block 2s-1+i, clamped; the channel
         # block picks k (1 of qk_rot) or v (2 of v_src)
-        def f(b, s):
+        def f(s, b):
             return (b, jnp.clip(2 * s - 1 + i, 0, num_kv - 1), which)
 
         return f
@@ -367,12 +580,13 @@ def _banded_attention_call(
     ]
     out = pl.pallas_call(
         kernel,
-        grid=(n, num_strips),
+        grid=(num_strips, n),
         in_specs=in_specs,
         out_specs=pl.BlockSpec(qblock, q_map, memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((n, t_pad, hd), qk_rot.dtype),
+        scratch_shapes=[pltpu.VMEM((BQ, 4 * BK), jnp.float32)],
         compiler_params=pltpu.CompilerParams(
-            dimension_semantics=("parallel", "arbitrary"),
+            dimension_semantics=("arbitrary", "arbitrary"),
         ),
         interpret=interpret,
     )(

@@ -1,6 +1,7 @@
 """Fused Pallas banded attention parity vs the XLA strip-loop reference
 implementation (which itself is torch-parity tested in test_tx_model.py)."""
 
+import jax
 import jax.numpy as jnp
 import numpy as np
 import pytest
@@ -91,3 +92,45 @@ def test_ext_path_matches_reference(n, t, h, d, wu, wl):
     qkv_ext = jnp.einsum("ntc,gc->ntg", x, wext)
     got = np.asarray(windowed_attention_ext(qkv_ext, ct, st, h, wu, wl))
     np.testing.assert_allclose(got, ref, atol=2e-5)
+
+
+class TestHalfpermAttention:
+    """windowed_attention_halfperm: RoPE inside the kernel over halves-major
+    q/k rows (A/B variant of the ext path; kept for toolchains where the
+    in-kernel rotate is cheap)."""
+
+    def test_matches_strip_loop_reference(self):
+        import numpy as np
+
+        from dorado_tpu.models import tx_model as T
+        from dorado_tpu.ops.attention import (
+            rope_half_tables,
+            rope_halfperm,
+            windowed_attention_halfperm,
+        )
+
+        n, t_len, nhead, d = 2, 512, 8, 64
+        hd = nhead * d
+        x = jax.random.normal(jax.random.PRNGKey(0), (n, t_len, hd), jnp.float32)
+        wqkv = jax.random.normal(
+            jax.random.PRNGKey(1), (3 * hd, hd), jnp.float32
+        ) / np.sqrt(hd)
+
+        qkv = jnp.einsum("ntc,gc->ntg", x, wqkv)
+        qkv4 = qkv.reshape(n, t_len, 3, nhead, d)
+        cos, sin = T.rope_tables(t_len, d, 10000.0)
+        q = T.apply_rope(qkv4[:, :, 0], cos, sin)
+        k = T.apply_rope(qkv4[:, :, 1], cos, sin)
+        v = qkv4[:, :, 2]
+        ref = T.windowed_attention(q, k, v, 127, 128).reshape(n, t_len, hd)
+
+        hp = rope_halfperm(nhead, d)
+        rows = np.concatenate([hp, hd + hp, 2 * hd + np.arange(hd)])
+        qkv_hp = jnp.einsum("ntc,gc->ntg", x, wqkv[rows])
+        tabs = rope_half_tables(t_len, d, nhead, 10000.0)
+        got = windowed_attention_halfperm(
+            qkv_hp, tabs, nhead, 127, 128, interpret=True
+        )
+        np.testing.assert_allclose(
+            np.asarray(ref), np.asarray(got), rtol=2e-4, atol=2e-4
+        )

@@ -203,3 +203,32 @@ def test_rms_norm():
     xf = np.asarray(x)
     want = xf * (1.0 / np.sqrt((xf**2).mean(-1, keepdims=True) + 1e-5)) * np.asarray(w)
     np.testing.assert_allclose(got, want, atol=1e-5)
+
+
+class TestQuantizedTx:
+    """W8A8 opt-in path: per-channel int8 weights + dynamic per-token
+    activation scales for the encoder's three fat matmuls."""
+
+    def test_int8_matches_fp_within_quant_tolerance(self):
+        import jax
+
+        from dorado_tpu.models.presets import sup_v50_config
+        from dorado_tpu.models.tx_model import (
+            init_tx_params,
+            quantize_tx_params,
+            tx_forward,
+        )
+
+        config = sup_v50_config()
+        config.tx.tx.depth = 2  # keep the CPU test fast
+        params = init_tx_params(config, jax.random.PRNGKey(0))
+        qparams = quantize_tx_params(params)
+        sig = jax.random.normal(jax.random.PRNGKey(1), (1, 1536))
+        ref = np.asarray(tx_forward(params, sig, config))
+        got = np.asarray(tx_forward(qparams, sig, config))
+        # int8 quantisation error: compare in relative Frobenius terms
+        rel = np.linalg.norm(got - ref) / np.linalg.norm(ref)
+        assert rel < 0.05, rel
+        # and the argmax transition (what the decoder consumes) mostly agrees
+        agree = (got.argmax(-1) == ref.argmax(-1)).mean()
+        assert agree > 0.95, agree
