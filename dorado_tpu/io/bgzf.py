@@ -54,10 +54,17 @@ class BgzfWriter:
         self._fh.write(header + cdata + footer)
         self._coffset += bsize  # gzip member size on disk (header+cdata+footer)
 
-    def close(self) -> None:
+    def flush(self) -> None:
+        """Force the buffered payload out as a block, so the next write
+        starts on a BGZF block boundary. Used after the BAM header so
+        multi-host shard merging can raw-concatenate record blocks
+        (samtools-cat style) without re-encoding."""
         if self._buffer:
             self._flush_block(bytes(self._buffer))
             self._buffer.clear()
+
+    def close(self) -> None:
+        self.flush()
         self._fh.write(BGZF_EOF)
         self._fh.flush()
 

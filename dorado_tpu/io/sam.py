@@ -224,6 +224,11 @@ class BamWriter:
             nb = name.encode() + b"\x00"
             blob += struct.pack("<i", len(nb)) + nb + struct.pack("<i", length)
         self._bgzf.write(blob)
+        # end the header on a block boundary: multi-host merge can then
+        # splice shard record blocks verbatim (parallel/distributed.py
+        # merge_host_bams), the BGZF equivalent of the reference appending
+        # records to one writer (BasecallerNode.cpp:488)
+        self._bgzf.flush()
         self.records_written = 0
         self._bai = None
         if index:

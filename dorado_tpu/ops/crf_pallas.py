@@ -423,13 +423,17 @@ def _lse_bwd_blk_kernel(
     carry = carry_ref[:]
     for i in range(bt):
         j = bt - 1 - i
+        m = jnp.max(carry, axis=-1, keepdims=True)
         if shifted:
             # row j of the shifted stream is beta[j+1]: the carry BEFORE
             # consuming score row j. Writing it here hands the fused
             # forward kernel exactly the rows it needs — no [T+1] concat +
-            # [1:] slice pass over the full beta tensor outside.
-            out_ref[j] = carry
-        m = jnp.max(carry, axis=-1, keepdims=True)
+            # [1:] slice pass over the full beta tensor outside. The row is
+            # stored max-NORMALISED (softmax-shift-invariant for the posts
+            # it feeds) so a bf16 out dtype stays accurate: raw beta grows
+            # ~stay*T (quantum ~16 in bf16 at sup depth), normalised rows
+            # sit near 0 (quantum 2^-8 on the dominant states).
+            out_ref[j] = (carry - m).astype(out_ref.dtype)
         eb = jnp.exp(carry - m)
         sc = sc_ref[j].astype(jnp.float32)
         if combined:
@@ -505,7 +509,13 @@ def _lse_scan_pallas_blk(
             pl.BlockSpec(mat.shape, lambda b, t: (0, 0), memory_space=pltpu.VMEM),
         ],
         out_specs=pl.BlockSpec((bt, bn, s), t_map, memory_space=pltpu.VMEM),
-        out_shape=jax.ShapeDtypeStruct((t_len, n, s), jnp.float32),
+        # the shifted (fused-decode) stream is max-normalised per row, so a
+        # bf16 score stream also gets a bf16 beta stream — it halves the
+        # dominant beta write + re-read HBM traffic of the decode
+        out_shape=jax.ShapeDtypeStruct(
+            (t_len, n, s),
+            blk.dtype if (shifted and blk.dtype == jnp.bfloat16) else jnp.float32,
+        ),
         scratch_shapes=[pltpu.VMEM((bn, s), jnp.float32)],
         compiler_params=pltpu.CompilerParams(
             dimension_semantics=("arbitrary", "arbitrary")
@@ -979,7 +989,11 @@ def _fused_forward_decode_blk(
         ),
         interpret=interpret,
     )
-    return f(blk, beta_shift.astype(jnp.float32), jnp.asarray(r4, jnp.bfloat16))
+    # a bf16 normalised beta stream (from the shifted scan) is consumed
+    # as-is — upcasting here would materialise a f32 copy of the stream
+    if beta_shift.dtype != jnp.bfloat16:
+        beta_shift = beta_shift.astype(jnp.float32)
+    return f(blk, beta_shift, jnp.asarray(r4, jnp.bfloat16))
 
 
 def supports_fused_decode(num_transitions: int) -> bool:

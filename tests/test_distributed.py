@@ -113,3 +113,98 @@ def test_two_process_distributed(tmp_path):
         assert rc == 0, err[-3000:]
     assert any("WORKER_OK 0" in out for _, out, _ in outs)
     assert any("WORKER_OK 1" in out for _, out, _ in outs)
+
+
+class TestMergeRawSplice:
+    """merge_host_bams fast path: raw BGZF block splice (no record
+    re-encode) for shards written by this package's BamWriter."""
+
+    def _write_shard(self, path, names, seq="ACGTACGT"):
+        from dorado_tpu.io.sam import BamWriter, SamHeader, SamRecord
+
+        with open(path, "wb") as f:
+            w = BamWriter(f, SamHeader())
+            for q in names:
+                w.write(SamRecord(qname=q, seq=seq, qual="I" * len(seq)))
+            w.close()
+
+    def test_fast_path_triggers_and_records_identical(self, tmp_path):
+        from dorado_tpu.io.bam_reader import stream_bam
+        from dorado_tpu.parallel.distributed import (
+            _bam_header_block_span,
+            host_output_path,
+            merge_host_bams,
+        )
+
+        out = tmp_path / "calls.bam"
+        self._write_shard(out, [f"h0-r{i}" for i in range(4)])
+        for pid, n in [(1, 3), (2, 5)]:
+            self._write_shard(
+                host_output_path(out, pid), [f"h{pid}-r{i}" for i in range(n)]
+            )
+        # our writer flushes after the header, so the splice precondition
+        # holds for every file
+        assert _bam_header_block_span(out) is not None
+
+        appended = merge_host_bams(out, 3)
+        assert appended == 8
+        with open(out, "rb") as f:
+            _, _, records = stream_bam(f)
+            got = [(r.qname, r.seq, r.qual) for r in records]
+        expect = [(f"h0-r{i}", "ACGTACGT", "IIIIIIII") for i in range(4)]
+        expect += [(f"h1-r{i}", "ACGTACGT", "IIIIIIII") for i in range(3)]
+        expect += [(f"h2-r{i}", "ACGTACGT", "IIIIIIII") for i in range(5)]
+        assert got == expect
+        assert not host_output_path(out, 1).exists()
+
+    def test_spliced_record_bytes_identical_to_shard_bytes(self, tmp_path):
+        """The spliced output must contain every shard's record BLOCKS
+        verbatim (the whole point: no re-encode)."""
+        from dorado_tpu.parallel.distributed import (
+            _bam_header_block_span,
+            host_output_path,
+            merge_host_bams,
+        )
+        from dorado_tpu.io.bgzf import BGZF_EOF
+
+        out = tmp_path / "calls.bam"
+        self._write_shard(out, ["a", "b"])
+        shard = host_output_path(out, 1)
+        self._write_shard(shard, ["c", "d", "e"])
+        span = _bam_header_block_span(shard)
+        shard_record_bytes = shard.read_bytes()[span:-len(BGZF_EOF)]
+        host0_bytes = out.read_bytes()[: -len(BGZF_EOF)]
+
+        merge_host_bams(out, 2)
+        merged = out.read_bytes()
+        assert merged == host0_bytes + shard_record_bytes + BGZF_EOF
+
+    def test_large_merge_runs_at_io_speed(self, tmp_path):
+        """~40 MB of shards: the splice must not scale with record decode
+        cost. Guarded loosely (seconds, not ms) to stay CI-safe; the
+        re-encode path on the same data takes >10x longer."""
+        import time
+
+        from dorado_tpu.io.bam_reader import stream_bam
+        from dorado_tpu.parallel.distributed import (
+            host_output_path,
+            merge_host_bams,
+        )
+
+        out = tmp_path / "calls.bam"
+        seq = "ACGT" * 2500  # 10 kb reads
+        self._write_shard(out, [f"h0-r{i}" for i in range(500)], seq=seq)
+        for pid in (1, 2):
+            self._write_shard(
+                host_output_path(out, pid),
+                [f"h{pid}-r{i}" for i in range(1500)],
+                seq=seq,
+            )
+        t0 = time.perf_counter()
+        appended = merge_host_bams(out, 3)
+        dt = time.perf_counter() - t0
+        assert appended == 3000
+        assert dt < 5.0, f"raw splice took {dt:.1f}s — re-encode fallback?"
+        with open(out, "rb") as f:
+            _, _, records = stream_bam(f)
+            assert sum(1 for _ in records) == 3500
