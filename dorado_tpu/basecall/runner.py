@@ -447,6 +447,14 @@ class BasecallRunner:
 
         from dorado_tpu.ops.beam import beam_search_device
 
+        # experimental Mosaic beam step kernel; measured slower than the
+        # XLA scan on the current v5e toolchain (docs/beam_bound.md), so
+        # opt-in only
+        if os.environ.get("DORADO_TPU_PALLAS_BEAM", "0") == "1":
+            from dorado_tpu.ops.beam_pallas import beam_search_pallas as _beam_fn
+        else:
+            _beam_fn = beam_search_device
+
         @jax.jit
         def device_beam(p, sig):
             """Fully on-device beam decode (ops/beam.py batched beam search)
@@ -455,7 +463,7 @@ class BasecallRunner:
             alpha = fwd_scan(scores_tnc, blank)
             beta = bwd_scan(scores_tnc, blank)
             posts = jax.nn.softmax(alpha + beta, axis=-1)
-            states_nt, moves_nt = beam_search_device(
+            states_nt, moves_nt = _beam_fn(
                 scores_tnc, beta, beam_width, beam_cut, blank
             )
             t = scores_tnc.shape[0]

@@ -296,9 +296,18 @@ def beam_search_device(
     hist_state = hist_state.reshape(t_len, n, w)
     hist_parent = hist_parent.reshape(t_len, n, w)
     hist_stay = hist_stay.reshape(t_len, n, w)
+    return _traceback(hist_state, hist_parent, hist_stay, final_score)
 
-    # ---- traceback from the best final element (reverse-time scan; no
-    # materialised history flips) ----
+
+@jax.jit
+def _traceback(hist_state, hist_parent, hist_stay, final_score):
+    """(states [N, T] i32, moves [N, T] u8): reverse-time traceback from the
+    best final element (no materialised history flips). Shared by the XLA
+    scan above and the Mosaic forward kernel (ops/beam_pallas.py)."""
+    t_len, n, w = hist_state.shape
+    from dorado_tpu.ops.crf_scan import _scan_block
+
+    block = _scan_block(t_len, 8)
     best0 = jnp.argmax(final_score, axis=1).astype(jnp.int32)  # [N]
 
     def back(elem, hs):
