@@ -787,7 +787,10 @@ def viterbi_traceback_pallas(choices, last_state, interpret: bool = False):
     # count is not the bottleneck here.
     per_t = bn * s * 2  # double-buffered i8 choice blocks
     bt = max(8, ((3 * 1024 * 1024) // per_t) // 8 * 8)
-    bt = min(bt, -(-t_len // 8) * 8)
+    # cap the unrolled time tile: small state spaces (fast, S=64) would
+    # otherwise pick bt=48, and the 48-way unrolled one-hot-plane chain
+    # sends the Mosaic backend compile into a multi-minute stall
+    bt = min(bt, 16, -(-t_len // 8) * 8)
     t_pad = -(-t_len // bt) * bt
     if t_pad != t_len:
         choices = jnp.pad(
