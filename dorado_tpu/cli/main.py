@@ -37,6 +37,12 @@ def _add_basecaller(sub: argparse._SubParsersAction) -> None:
         help="Emit CRAM (non-reference mode; also chosen by a .cram output "
         "path, matching the reference's extension-based selection)",
     )
+    p.add_argument(
+        "--cram-rans",
+        action="store_true",
+        help="Compress CRAM data-series blocks with rANS 4x8 (htslib's "
+        "CRAM 3.0 default codec) instead of gzip",
+    )
     p.add_argument("--emit-moves", action="store_true")
     p.add_argument("--emit-summary", action="store_true",
                    help="Also write sequencing_summary.txt next to the "
@@ -357,7 +363,7 @@ def _run_basecaller(args: argparse.Namespace) -> int:
         from dorado_tpu.io.cram import CramWriter
 
         fh = sys.stdout.buffer if out_is_stdout else open(args.output, "wb")
-        writer = CramWriter(fh, header)
+        writer = CramWriter(fh, header, rans=getattr(args, "cram_rans", False))
     else:
         fh = sys.stdout.buffer if out_is_stdout else open(args.output, "wb")
         writer = BamWriter(fh, header)
@@ -1317,7 +1323,7 @@ def _run_aligner(args: argparse.Namespace) -> int:
         from dorado_tpu.io.cram import CramWriter
 
         fh = open(args.output, "wb")
-        writer = CramWriter(fh, header)
+        writer = CramWriter(fh, header, rans=getattr(args, "cram_rans", False))
     else:
         fh = sys.stdout.buffer if out_is_stdout else open(args.output, "wb")
         if args.no_sort:

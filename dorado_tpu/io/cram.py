@@ -8,13 +8,14 @@ dorado/hts_utils/hts_file.cpp). Scope:
   (preservation map RR=false, the htslib ``no_ref`` mode): read bases are
   carried by 'b'/'I'/'S' features (mapped) or the BA series (unmapped), so
   the output decodes without a reference FASTA. Every data series uses an
-  EXTERNAL encoding into its own gzip block — the simplest layout the spec
-  permits; method choice is free for writers.
+  EXTERNAL encoding into its own block — gzip by default, or rANS 4x8
+  (htslib's CRAM 3.0 default codec, order-1 for large streams) with
+  ``CramWriter(..., rans=True)`` / the CLI's ``--cram-rans``, via the
+  from-scratch coders in io/rans.py.
 - **Reader**: decodes what the writer emits plus the common htslib
   patterns needed for round-trips — EXTERNAL int/byte, BYTE_ARRAY_STOP,
   BYTE_ARRAY_LEN(EXTERNAL/EXTERNAL), constant HUFFMAN; block methods raw /
-  gzip / bzip2 / lzma. (rANS-coded files from other writers are detected
-  and rejected with a clear error.)
+  gzip / bzip2 / lzma / rANS 4x8 / rANS Nx16.
 
 Container/slice/record layouts follow the CRAM 3.0 specification; the EOF
 container is the spec's fixed 38-byte v3 marker (verified byte-identical to
@@ -169,13 +170,30 @@ def write_block(
 ) -> bytes:
     if method is None:
         method = GZIP if len(data) > 64 else RAW
+    if method == RANS4x8:
+        # htslib's default codec for CRAM 3.0 data series: order-1 for the
+        # large entropy-rich streams (quality-class sizes), order-0
+        # otherwise; fall back to gzip/raw when rANS doesn't win (tiny or
+        # incompressible blocks)
+        from dorado_tpu.io.rans import rans4x8_encode
+
+        if len(data) < 64:
+            method = RAW
+        else:
+            order = 1 if len(data) >= 4096 else 0
+            comp = rans4x8_encode(data, order=order)
+            gz = gzip.compress(data, 6)
+            if len(gz) < len(comp):
+                method, comp = GZIP, gz
+            if len(data) <= len(comp):
+                method, comp = RAW, data
     if method == GZIP:
         comp = gzip.compress(data, 6)
         if len(comp) >= len(data):
             method, comp = RAW, data
     elif method == RAW:
         comp = data
-    else:
+    elif method != RANS4x8:
         raise ValueError(f"writer does not emit method {method}")
     body = (
         bytes([method, ctype])
@@ -582,9 +600,14 @@ _TAG_ID_BASE = 100
 class CramWriter:
     """Streams SamRecords into CRAM 3.0 containers (non-reference mode)."""
 
-    def __init__(self, fileobj: BinaryIO, header: SamHeader):
+    def __init__(self, fileobj: BinaryIO, header: SamHeader, rans: bool = False):
+        # rans=True compresses the external data-series blocks with
+        # rANS 4x8 (order-1 for large streams), htslib's CRAM 3.0 default
+        # codec, via the from-scratch coders in io/rans.py; headers stay
+        # gzip/raw. Round-trips through this module's own reader.
         self.f = fileobj
         self.header = header
+        self._ext_method = RANS4x8 if rans else None
         self.ref_ids = header.ref_ids()
         self.rg_ids = {
             rg.get("ID"): i for i, rg in enumerate(header.read_groups)
@@ -741,7 +764,10 @@ class CramWriter:
             blocks.append((_TAG_ID_BASE + 2 * i + 1, bytes(vst.buf)))
 
         core = write_block(CORE, 0, b"", method=RAW)
-        ext_blocks = [write_block(EXTERNAL, cid, data) for cid, data in blocks]
+        ext_blocks = [
+            write_block(EXTERNAL, cid, data, method=self._ext_method)
+            for cid, data in blocks
+        ]
 
         sh = SliceHeader(
             ref_id=slice_ref,

@@ -227,3 +227,70 @@ def test_read_records_dispatches_cram(tmp_path):
     text, records = read_records(path)
     assert len(records) == 1 and records[0].qname == "r0"
     assert records[0].seq == "ACGTACGT"
+
+
+class TestRansWriter:
+    """CramWriter(rans=True): data-series blocks compressed with the
+    io/rans.py 4x8 coders (htslib's CRAM 3.0 default codec)."""
+
+    def _records(self, n=64):
+        import random
+
+        rng = random.Random(7)
+        recs = []
+        for i in range(n):
+            seq = "".join(rng.choice("ACGT") for _ in range(rng.randint(80, 220)))
+            qual = "".join(chr(33 + rng.randint(2, 40)) for _ in seq)
+            recs.append(
+                SamRecord(qname=f"read{i}", flag=4, seq=seq, qual=qual)
+            )
+        return recs
+
+    def test_roundtrip_and_uses_rans_blocks(self, tmp_path):
+        import io as _io
+
+        from dorado_tpu.io.cram import RANS4x8, CramReader, CramWriter
+
+        recs = self._records()
+        buf = _io.BytesIO()
+        w = CramWriter(buf, _header(), rans=True)
+        for r in recs:
+            w.write(r)
+        w.close()
+        data = buf.getvalue()
+        back = list(CramReader(data).records())
+        assert [(r.qname, r.seq, r.qual) for r in back] == [
+            (r.qname, r.seq, r.qual) for r in recs
+        ]
+        # at least one block must actually carry the rANS method byte
+        # (method RANS4x8 = 4, content type EXTERNAL = 4); cheap scan:
+        # count via the reader's own block walk
+        from dorado_tpu.io.cram import ByteReader, read_block, read_container_header
+
+        r = ByteReader(data)
+        r.read(26)  # magic + version + file id
+        methods = []
+        while r.pos < len(data) - 38:
+            ch = read_container_header(r)
+            end = r.pos + ch.length
+            while r.pos < end:
+                start = r.pos
+                methods.append(r.data[start])
+                read_block(r)
+        assert RANS4x8 in methods
+
+    def test_rans_output_smaller_than_gzip(self):
+        import io as _io
+
+        from dorado_tpu.io.cram import CramWriter
+
+        recs = self._records(256)
+        outs = {}
+        for rans in (False, True):
+            buf = _io.BytesIO()
+            w = CramWriter(buf, _header(), rans=rans)
+            for r in recs:
+                w.write(r)
+            w.close()
+            outs[rans] = len(buf.getvalue())
+        assert outs[True] < outs[False], outs

@@ -38,3 +38,16 @@ def test_lattice_shapes_and_moves():
     # states only change on moves
     changed = states[1:] != states[:-1]
     assert not np.any(changed & (moves[1:] == 0))
+
+
+def test_model_score_study_ranking_holds():
+    """On lattices with a model-generated (correlated) noise field the
+    viterbi >= beam ranking must hold at the operating margin — the
+    round-4 evidence behind the default-decoder flip
+    (docs/decoder_choice.md, model-generated scores section)."""
+    from dorado_tpu.decode.accuracy import run_model_score_study
+
+    rows = run_model_score_study(margins=(4.0,), n_chunks=2, chunk=1996)
+    row = rows[0]
+    assert row["viterbi_acc"] >= row["beam_acc"] - 0.005, row
+    assert row["viterbi_acc"] > 0.95, row
