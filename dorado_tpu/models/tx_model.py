@@ -315,7 +315,17 @@ def tx_encoder_layer(
                 preferred_element_type=jnp.float32,
             ).astype(dtype)
         ct, st = rope_ext
-        attn = windowed_attention_ext(qkv_ext, ct, st, nhead, win[0], win[1])
+        if rope_hp is not None:
+            # rope_hp doubles as the stacked-tables slot for the fused-RoPE
+            # ext kernel (no rotated qk copy in HBM); selected by
+            # DORADO_TPU_TX_ATTN=extf in tx_forward
+            from dorado_tpu.ops.attention import windowed_attention_ext_fused
+
+            attn = windowed_attention_ext_fused(
+                qkv_ext, rope_hp, nhead, win[0], win[1]
+            )
+        else:
+            attn = windowed_attention_ext(qkv_ext, ct, st, nhead, win[0], win[1])
     else:
         # fused Pallas banded attention on the plain qkv projection; RoPE
         # as an XLA pre-pass (ops/attention.py windowed_attention_qkv_rope)
@@ -422,6 +432,10 @@ def tx_forward(
             t_len, tx.d_model // tx.nhead, tx.nhead, tx.theta
         )
         rope_ext = (ct, st)
+        if attn_variant == "extf":
+            # fused-RoPE ext kernel: pass the stacked tables; rotation
+            # happens on VMEM tiles inside the attention kernel
+            rope_hp = jnp.stack([ct, st])
         hd2 = 2 * tx.d_model
 
         def extend(p):

@@ -330,6 +330,171 @@ def windowed_attention_ext(
     )
 
 
+def _attn_ext_fused_kernel(
+    q_ref, qsw_ref,
+    k0_ref, k1_ref, k2_ref, k3_ref,
+    ksw0_ref, ksw1_ref, ksw2_ref, ksw3_ref,
+    v0_ref, v1_ref, v2_ref, v3_ref,
+    ctq_ref, stq_ref,
+    ctk0_ref, stk0_ref, ctk1_ref, stk1_ref,
+    ctk2_ref, stk2_ref, ctk3_ref, stk3_ref,
+    o_ref, bias_ref,
+    *, h: int, d: int, t: int, win_upper: int, win_lower: int, ref_elems: int,
+):
+    """_attn_banded_kernel with the RoPE FMA moved INSIDE: consumes the raw
+    extended projection (q | k | v | q_swap | k_swap channel blocks) plus
+    the (ct, st) tables and rotates on the VMEM tiles — qk_rot never
+    round-trips HBM (the external FMA pass read 268 MB + wrote 134 MB per
+    sup layer). Bit-identical rotation: same full-width f32 FMA, same bf16
+    cast. Table blocks are indexed by the strip only, so with the batch
+    dimension innermost Pallas re-fetches them just once per strip."""
+    s = pl.program_id(0)
+    b = pl.program_id(1)
+    scale = 1.0 / np.sqrt(d)
+
+    @pl.when(b == 0)
+    def _():
+        bias_ref[:] = _band_bias_at(
+            s * BQ, (2 * s - 1) * BK, BQ, 4 * BK,
+            t, win_upper, win_lower, ref_elems,
+        )
+
+    bias = bias_ref[:]
+
+    def rot(x_ref, sw_ref, ct_ref, st_ref):
+        x = x_ref[0].astype(jnp.float32)
+        sw = sw_ref[0].astype(jnp.float32)
+        return (ct_ref[0] * x + st_ref[0] * sw).astype(x_ref.dtype)
+
+    q_all = rot(q_ref, qsw_ref, ctq_ref, stq_ref)  # [BQ, hd]
+    k_refs = (k0_ref, k1_ref, k2_ref, k3_ref)
+    ksw_refs = (ksw0_ref, ksw1_ref, ksw2_ref, ksw3_ref)
+    ctk = (ctk0_ref, ctk1_ref, ctk2_ref, ctk3_ref)
+    stk = (stk0_ref, stk1_ref, stk2_ref, stk3_ref)
+    k_all = jnp.concatenate(
+        [rot(k_refs[i], ksw_refs[i], ctk[i], stk[i]) for i in range(4)], axis=0
+    )  # [4*BK, hd]
+    v_refs = (v0_ref, v1_ref, v2_ref, v3_ref)
+    v_all = jnp.concatenate([v_refs[i][0] for i in range(4)], axis=0)
+
+    for h_i in range(h):
+        sl = slice(h_i * d, (h_i + 1) * d)
+        q = q_all[:, sl].astype(jnp.float32)
+        k = k_all[:, sl].astype(jnp.float32)
+        v = v_all[:, sl].astype(jnp.float32)
+        logits = (
+            jnp.dot(q, k.T, preferred_element_type=jnp.float32) * scale + bias
+        )
+        m = logits.max(axis=-1, keepdims=True)
+        p = jnp.exp(logits - m)
+        out = jnp.dot(p, v, preferred_element_type=jnp.float32)
+        o_ref[0, :, sl] = (out / p.sum(axis=-1, keepdims=True)).astype(o_ref.dtype)
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("nhead", "win_upper", "win_lower", "num_splits", "interpret"),
+)
+def windowed_attention_ext_fused(
+    qkv_ext: jnp.ndarray,  # [N, T, 5*H*D]: q | k | v | q_swapped | k_swapped
+    tabs: jnp.ndarray,  # [2, T, 2*H*D] stacked (ct, st) full-width tables
+    nhead: int,
+    win_upper: int,
+    win_lower: int,
+    num_splits: int = 12,
+    interpret: bool | None = None,
+) -> jnp.ndarray:
+    """windowed_attention_ext with RoPE fused into the kernel (see
+    _attn_ext_fused_kernel). Numerically identical output."""
+    n, t, g = qkv_ext.shape
+    hd = g // 5
+    d = hd // nhead
+    if win_lower > BK or win_upper > BK:
+        raise ValueError("window <= 128 per side required")
+    if interpret is None:
+        interpret = jax.default_backend() != "tpu"
+    num_strips = -(-t // BQ)
+    t_pad = num_strips * BQ
+    if t_pad != t:
+        qkv_ext = jnp.pad(qkv_ext, ((0, 0), (0, t_pad - t), (0, 0)))
+        tabs = jnp.pad(tabs, ((0, 0), (0, t_pad - t), (0, 0)))
+    num_kv = t_pad // BK
+    ref_elems = -(-t // num_splits)
+    ref_elems += (-ref_elems) % 4
+
+    def q_map(which):
+        return lambda s, b: (b, s, which)
+
+    def kv_map(i, which):
+        def f(s, b):
+            return (b, jnp.clip(2 * s - 1 + i, 0, num_kv - 1), which)
+
+        return f
+
+    def tab_q(which, part):
+        return lambda s, b: (which, s, part)
+
+    def tab_k(i, which, part):
+        return lambda s, b: (
+            which,
+            jnp.clip(2 * s - 1 + i, 0, num_kv - 1),
+            part,
+        )
+
+    kernel = functools.partial(
+        _attn_ext_fused_kernel,
+        h=nhead, d=d, t=t, win_upper=win_upper, win_lower=win_lower,
+        ref_elems=ref_elems,
+    )
+    qblock = (1, BQ, hd)
+    kvblock = (1, BK, hd)
+    in_specs = [
+        pl.BlockSpec(qblock, q_map(0), memory_space=pltpu.VMEM),  # q
+        pl.BlockSpec(qblock, q_map(3), memory_space=pltpu.VMEM),  # q_swap
+    ]
+    in_specs += [
+        pl.BlockSpec(kvblock, kv_map(i, 1), memory_space=pltpu.VMEM)  # k
+        for i in range(4)
+    ]
+    in_specs += [
+        pl.BlockSpec(kvblock, kv_map(i, 4), memory_space=pltpu.VMEM)  # k_swap
+        for i in range(4)
+    ]
+    in_specs += [
+        pl.BlockSpec(kvblock, kv_map(i, 2), memory_space=pltpu.VMEM)  # v
+        for i in range(4)
+    ]
+    in_specs += [
+        pl.BlockSpec((1, BQ, hd), tab_q(0, 0), memory_space=pltpu.VMEM),  # ct q
+        pl.BlockSpec((1, BQ, hd), tab_q(1, 0), memory_space=pltpu.VMEM),  # st q
+    ]
+    for i in range(4):
+        in_specs += [
+            pl.BlockSpec((1, BK, hd), tab_k(i, 0, 1), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, BK, hd), tab_k(i, 1, 1), memory_space=pltpu.VMEM),
+        ]
+    out = pl.pallas_call(
+        kernel,
+        grid=(num_strips, n),
+        in_specs=in_specs,
+        out_specs=pl.BlockSpec(qblock, q_map(0), memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((n, t_pad, hd), qkv_ext.dtype),
+        scratch_shapes=[pltpu.VMEM((BQ, 4 * BK), jnp.float32)],
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("arbitrary", "arbitrary"),
+        ),
+        interpret=interpret,
+    )(
+        qkv_ext, qkv_ext,
+        qkv_ext, qkv_ext, qkv_ext, qkv_ext,
+        qkv_ext, qkv_ext, qkv_ext, qkv_ext,
+        qkv_ext, qkv_ext, qkv_ext, qkv_ext,
+        tabs, tabs,
+        tabs, tabs, tabs, tabs, tabs, tabs, tabs, tabs,
+    )
+    return out[:, :t]
+
+
 def rope_halfperm(nhead: int, head_dim: int) -> np.ndarray:
     """Row permutation taking a natural [H*D]-ordered q (or k) projection to
     *halves-major* order: [e(h0)|e(h1)|...|e(h7) | o(h0)|...|o(h7)], where

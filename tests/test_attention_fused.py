@@ -134,3 +134,34 @@ class TestHalfpermAttention:
         np.testing.assert_allclose(
             np.asarray(ref), np.asarray(got), rtol=2e-4, atol=2e-4
         )
+
+
+class TestExtFusedRope:
+    """windowed_attention_ext_fused must equal windowed_attention_ext (it
+    is the same kernel with the RoPE FMA moved inside)."""
+
+    def test_matches_ext(self):
+        from dorado_tpu.models import tx_model as T
+        from dorado_tpu.ops.attention import (
+            windowed_attention_ext,
+            windowed_attention_ext_fused,
+        )
+
+        n, t_len, nhead, d = 2, 512, 8, 64
+        hd = nhead * d
+        x = jax.random.normal(jax.random.PRNGKey(0), (n, t_len, hd), jnp.float32)
+        wqkv = jax.random.normal(
+            jax.random.PRNGKey(1), (3 * hd, hd), jnp.float32
+        ) / np.sqrt(hd)
+        ct, st, perm = T.rope_ext_tables(t_len, d, nhead, 10000.0)
+        w_ext = jnp.concatenate([wqkv, wqkv[perm]], axis=0)
+        qkv_ext = jnp.einsum("ntc,gc->ntg", x, w_ext)
+        ref = windowed_attention_ext(
+            qkv_ext, ct, st, nhead, 127, 128, interpret=True
+        )
+        got = windowed_attention_ext_fused(
+            qkv_ext, jnp.stack([ct, st]), nhead, 127, 128, interpret=True
+        )
+        np.testing.assert_allclose(
+            np.asarray(ref), np.asarray(got), rtol=1e-5, atol=1e-5
+        )
