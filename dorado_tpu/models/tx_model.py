@@ -392,7 +392,10 @@ def tx_forward(
     rope_hp = None
     import os
 
-    attn_variant = os.environ.get("DORADO_TPU_TX_ATTN", "ext")
+    # extf (RoPE fused into the banded kernel, numerically identical to
+    # ext) measured 120.8 vs 124.5 ms/step at sup batch 64 on v5e — the
+    # external rotation pass's 402 MB/layer HBM round-trip removed
+    attn_variant = os.environ.get("DORADO_TPU_TX_ATTN", "extf")
     if (
         jax.default_backend() == "tpu"
         and max(tx.attn_window) <= 128
