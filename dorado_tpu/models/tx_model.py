@@ -114,11 +114,15 @@ def quantize_tx_params(params: Params) -> Params:
     per-channel scales. The residual stream, norms, attention, output
     projection, upsample and CRF head stay in the compute dtype.
 
-    The v5e MXU runs int8 at 2x the bf16 rate (394 vs 197 TOPS); with
-    dynamic per-token activation scales the W8A8 path reproduces the bf16
-    basecalls to >99.9% identity on model-generated scores
-    (docs/decoder_choice.md) — the TPU analogue of the reference's
-    quantised Koi LSTM kernels."""
+    The v5e datasheet rates int8 at 2x bf16 (394 vs 197 TOPS), but the
+    current XLA does not expose that rate (measured ~179 TOPS int8 vs
+    118-179 TF/s bf16, and slower end-to-end with the dynamic
+    activation-quant pass), so this path is OPT-IN
+    (DORADO_TPU_TX_PRECISION=int8) — the TPU analogue of the reference's
+    quantised Koi LSTM kernels, held for a toolchain that delivers the
+    MXU int8 rate. Accuracy vs fp is covered by
+    tests/test_tx_model.py::TestQuantizedTx (relative Frobenius < 5%,
+    argmax-transition agreement > 95% at 2-layer depth)."""
     out = dict(params)
     layers = []
     for p in params["layers"]:
@@ -336,17 +340,36 @@ def tx_encoder_layer(
             preferred_element_type=jnp.float32,
         ).astype(dtype)
         attn = windowed_attention_qkv_rope(qkv, cos, sin, nhead, win[0], win[1])
-    attn = (
-        jnp.einsum(
-            "ntc,dc->ntd",
-            attn,
-            p["out_proj_w"].astype(dtype),
-            preferred_element_type=jnp.float32,
-        )
-        + p["out_proj_b"].astype(jnp.float32)
-    ).astype(dtype)
+    import os
 
-    x = rms_norm(attn + x * jnp.asarray(alpha, dtype), p["norm1"])
+    fused_norm = (
+        jax.default_backend() == "tpu"
+        and os.environ.get("DORADO_TPU_TX_FUSED_NORM", "0") == "1"
+    )
+    if fused_norm:
+        # matmul + bias + alpha*residual + RMSNorm in one Pallas pass
+        # (ops/fused_norm.py). A/B on v5e at sup batch 64: 131.2 vs
+        # 116.9 ms/step — the single-block Pallas matmul loses more than
+        # the fused norm saves, so this stays opt-in (XLA's matmul +
+        # separate norm pass wins on this toolchain)
+        from dorado_tpu.ops.fused_norm import matmul_residual_rmsnorm
+
+        x = matmul_residual_rmsnorm(
+            attn, p["out_proj_w"].astype(dtype), p["out_proj_b"], x,
+            p["norm1"], alpha,
+        )
+    else:
+        attn = (
+            jnp.einsum(
+                "ntc,dc->ntd",
+                attn,
+                p["out_proj_w"].astype(dtype),
+                preferred_element_type=jnp.float32,
+            )
+            + p["out_proj_b"].astype(jnp.float32)
+        ).astype(dtype)
+
+        x = rms_norm(attn + x * jnp.asarray(alpha, dtype), p["norm1"])
 
     if "fc1_q" in p:
         xq, xs = _q8_act(x)
@@ -361,6 +384,12 @@ def tx_encoder_layer(
     if "fc2_q" in p:
         tq, ts = _q8_act(t_act)
         f = _mm_q8(tq, ts, p["fc2_q"], p["fc2_s"]).astype(dtype)
+    elif fused_norm:
+        from dorado_tpu.ops.fused_norm import matmul_residual_rmsnorm
+
+        return matmul_residual_rmsnorm(
+            t_act, p["fc2"].astype(dtype), None, x, p["norm2"], alpha
+        )
     else:
         f = jnp.einsum(
             "ntf,cf->ntc", t_act, p["fc2"].astype(dtype),

@@ -232,3 +232,33 @@ class TestQuantizedTx:
         # and the argmax transition (what the decoder consumes) mostly agrees
         agree = (got.argmax(-1) == ref.argmax(-1)).mean()
         assert agree > 0.95, agree
+
+
+class TestFusedNorm:
+    """ops/fused_norm.py must reproduce the unfused
+    (matmul + bias).astype(dtype) + alpha*res -> rms_norm sequence."""
+
+    @pytest.mark.parametrize("has_bias,o,k", [(True, 512, 512), (False, 512, 2048)])
+    def test_matches_unfused(self, has_bias, o, k):
+        import jax
+
+        from dorado_tpu.models.tx_model import rms_norm
+        from dorado_tpu.ops.fused_norm import matmul_residual_rmsnorm
+
+        n, t = 2, 300
+        key = jax.random.PRNGKey(0)
+        x = jax.random.normal(key, (n, t, k), jnp.float32)
+        w = jax.random.normal(jax.random.PRNGKey(1), (o, k), jnp.float32) / np.sqrt(k)
+        b = jax.random.normal(jax.random.PRNGKey(2), (o,), jnp.float32) if has_bias else None
+        res = jax.random.normal(jax.random.PRNGKey(3), (n, t, o), jnp.float32)
+        nw = jax.random.normal(jax.random.PRNGKey(4), (o,), jnp.float32)
+        alpha = 2.4494897
+
+        mm = jnp.einsum("ntk,ok->nto", x, w)
+        if has_bias:
+            mm = mm + b
+        ref = rms_norm(mm.astype(x.dtype) + res * alpha, nw)
+        got = matmul_residual_rmsnorm(x, w, b, res, nw, alpha, interpret=True)
+        np.testing.assert_allclose(
+            np.asarray(ref), np.asarray(got), rtol=2e-5, atol=2e-5
+        )
