@@ -52,6 +52,12 @@ A100 = {
     "fast": 1440.0 / 0.0163e-3,  # 88.34 Msamples/s (fast@v5.0.0 row)
     "hac": 1728.0 / 0.0330413e-3,  # 52.30 Msamples/s (hac@v4.3 geometry)
     "sup": 3456.0 / 0.4436e-3,  # 7.79 Msamples/s (sup@v5.0.0 row)
+    # LSTM-sup architecture class (lstm 768, state_len 5): the
+    # dna sup@v4.3.0 row, best 0.258499 ms/chunk @ 1728 samples
+    # (NVIDIA_A100_80GB_PCIe.cpp:37-43); measured here via the
+    # rna004_130bps_sup@v3.0.1 config (same architecture, stride 5),
+    # the only locally-authoritative LSTM-sup config
+    "lstm_sup": 1728.0 / 0.258499e-3,  # 6.68 Msamples/s
 }
 GROUPS = 5
 REPS = 3
@@ -82,6 +88,19 @@ def build_runner(family: str, decoder: str, batch: int, chunk: int | None = None
 
         config = presets.sup_v50_config()
         params = init_tx_params(config, jax.random.PRNGKey(0), dtype=jnp.bfloat16)
+    elif family == "lstm_sup":
+        from pathlib import Path
+
+        from dorado_tpu.config import load_model_config
+        from dorado_tpu.models.crf_model import init_lstm_crf_params
+
+        config = load_model_config(
+            Path(
+                "/root/reference/tests/data/model_configs/"
+                "rna004_130bps_sup@v3.0.1"
+            )
+        )
+        params = init_lstm_crf_params(config, jax.random.PRNGKey(0), dtype=jnp.bfloat16)
     else:
         from dorado_tpu.models.crf_model import init_lstm_crf_params
 
@@ -309,6 +328,14 @@ def main() -> None:
         "sup", "viterbi", sup_batches, chunk=12288 if on_tpu else 1536
     )
     beam_e2e, _, _ = measure_e2e("hac", "beam", [512] if on_tpu else [8])
+    lstm_sup_e2e = 0.0
+    if on_tpu:
+        try:
+            # batch 128 fails remote compile at these shapes (tracked);
+            # 64 is within ~2% of its asymptote
+            lstm_sup_e2e, _, _ = measure_e2e("lstm_sup", "viterbi", [64], chunk=10000)
+        except Exception as e:
+            print(f"lstm_sup bench failed: {e}", file=sys.stderr)
 
     fwd = 0.0
     try:
@@ -360,6 +387,10 @@ def main() -> None:
                     # move in <1 ms/batch and the host-side stage rates
                     # (docs/TUNING.md) sustain the device figure.
                     "pipeline_transport_bound": True,
+                    "lstm_sup_e2e_samples_per_s": round(lstm_sup_e2e, 1),
+                    "lstm_sup_e2e_vs_a100_sup_v43": round(
+                        lstm_sup_e2e / A100["lstm_sup"], 4
+                    ),
                     "e2e_beam_samples_per_s": round(beam_e2e, 1),
                     "e2e_beam_vs_a100_table": round(beam_e2e / A100["hac"], 4),
                     "forward_samples_per_s": round(fwd, 1),
