@@ -331,9 +331,9 @@ def main() -> None:
     lstm_sup_e2e = 0.0
     if on_tpu:
         try:
-            # batch 128 fails remote compile at these shapes (tracked);
-            # 64 is within ~2% of its asymptote
-            lstm_sup_e2e, _, _ = measure_e2e("lstm_sup", "viterbi", [64], chunk=10000)
+            lstm_sup_e2e, _, _ = measure_e2e(
+                "lstm_sup", "viterbi", [64, 128], chunk=10000
+            )
         except Exception as e:
             print(f"lstm_sup bench failed: {e}", file=sys.stderr)
 
