@@ -845,3 +845,24 @@ class TestCliSurface:
         )
         assert r.returncode == 0, r.stderr
         assert list((tmp_path / "out").glob("*.bam"))
+
+
+class TestCramRansCli:
+    def test_basecaller_emit_cram_rans(self, model_dir, tmp_path):
+        """--emit-cram --cram-rans: output must decode via the repo's own
+        CRAM reader and contain at least one rANS-method block."""
+        out = tmp_path / "calls.cram"
+        r = run_cli(
+            "basecaller", str(model_dir), str(POD5_DIR),
+            "--emit-cram", "--cram-rans", "-b", "4", "-c", "4000",
+            "-o", str(out),
+        )
+        assert r.returncode == 0, r.stderr[-800:]
+        from dorado_tpu.io.cram import CramReader
+
+        recs = list(CramReader(str(out)).records())
+        assert len(recs) == 3
+        # one record per fixture read, with intact read-id qnames
+        names = {r.qname for r in recs}
+        assert len(names) == 3
+        assert all(len(n) == 36 and n.count("-") == 4 for n in names), names
