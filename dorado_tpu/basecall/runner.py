@@ -231,11 +231,8 @@ class BasecallRunner:
         if config.is_tx_model:
             from dorado_tpu.models.tx_model import quantize_tx_params, tx_forward
 
-            # W8A8 encoder matmuls: the v5e MXU runs int8 at 2x the bf16
-            # rate; accuracy vs bf16 is documented in docs/decoder_choice.md
-            # (the TPU analogue of the reference's quantised Koi kernels).
-            # DORADO_TPU_TX_PRECISION=bf16 forces full bf16.
-            # int8 measured *slower* than bf16 on v5e through this XLA
+            # W8A8 encoder matmuls (the TPU analogue of the reference's
+            # quantised Koi kernels): int8 measured *slower* than bf16 here
             # (the int8 MXU rate is not exposed: chained square matmuls
             # reach 179 TOPS int8 vs 118-179 TF/s bf16, and the dynamic
             # activation-quant pass costs more than it saves), so bf16 is

@@ -93,8 +93,6 @@ def _bam_header_block_span(path: Path) -> int | None:
     import struct
     import zlib
 
-    from dorado_tpu.io.bgzf import BGZF_EOF
-
     with open(path, "rb") as fh:
         payload = b""
         header_ulen = None
@@ -166,7 +164,6 @@ def merge_host_bams(output: str | Path, process_count: int) -> int:
     Returns the number of records appended; shard files are removed.
     """
     import os
-    import shutil
     import struct
 
     from dorado_tpu.io.bam_reader import stream_bam
