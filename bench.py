@@ -200,6 +200,55 @@ def measure_forward(rpc: float) -> float:
     return tput
 
 
+def measure_modbase() -> float:
+    """ModBase ConvLSTM-v3 device-step throughput (chunks/s) at the
+    reference hac 5mCG_5hmCG@v3 geometry (192-sample contexts, kmer 9) —
+    the reference benchmarks pipelines +/-modbase
+    (run_benchmarking_tests.py); the A100 tables carry no modbase rows,
+    so this is an absolute number. At 2048-chunk batches the engine
+    covers ~36 Msamples/s of modbase context — comparable to the hac
+    basecall rate itself, so motif-sited modbase adds only a small
+    fraction of device load."""
+    from pathlib import Path
+
+    from dorado_tpu.modbase.config import load_modbase_config
+    from dorado_tpu.modbase.model import init_modbase_params, make_modbase_forward_fn
+
+    cfgdir = Path(
+        "/root/reference/tests/data/model_configs/"
+        "dna_r10.4.1_e8.2_400bps_hac@v5.0.0_5mCG_5hmCG@v3"
+    )
+    if not cfgdir.exists():
+        return 0.0
+    cfg = load_modbase_config(cfgdir)
+    params = init_modbase_params(cfg, jax.random.PRNGKey(0), dtype=jnp.bfloat16)
+    fwd = jax.jit(make_modbase_forward_fn(cfg, compute_dtype=jnp.bfloat16))
+    chunk = cfg.context.chunk_size
+    batch = 2048
+    sigs = jax.random.normal(jax.random.PRNGKey(1), (batch, chunk), jnp.bfloat16)
+    seqs = (
+        jax.random.uniform(jax.random.PRNGKey(2), (batch, chunk, cfg.kmer_len * 4))
+        < 0.25
+    ).astype(jnp.int8)
+    out = fwd(params, sigs, seqs)
+    np.asarray(out.ravel()[:1])
+
+    def dispatch():
+        return fwd(params, sigs, seqs)
+
+    def sync(out):
+        np.asarray(out.ravel()[:1])
+
+    med, spread = median_time(dispatch, sync)
+    tput = batch / med
+    print(
+        f"modbase v3 batch {batch} chunk {chunk}: {med * 1e3:.2f} ms/step "
+        f"(spread {spread * 100:.1f}%), {tput:.0f} chunks/s",
+        file=sys.stderr,
+    )
+    return tput
+
+
 def measure_pipeline() -> float:
     """Full POD5 -> BAM CLI run on this chip: the reference's headline
     `> Basecalled @ Samples/s` metric (ProgressTracker.cpp:73-77), over
@@ -343,6 +392,13 @@ def main() -> None:
     except Exception as e:
         print(f"hac forward failed: {e}", file=sys.stderr)
 
+    modbase_chunks = 0.0
+    if on_tpu:
+        try:
+            modbase_chunks = measure_modbase()
+        except Exception as e:
+            print(f"modbase bench failed: {e}", file=sys.stderr)
+
     pipeline = 0.0
     if on_tpu:
         try:
@@ -387,6 +443,7 @@ def main() -> None:
                     # move in <1 ms/batch and the host-side stage rates
                     # (docs/TUNING.md) sustain the device figure.
                     "pipeline_transport_bound": True,
+                    "modbase_v3_chunks_per_s": round(modbase_chunks, 1),
                     "lstm_sup_e2e_samples_per_s": round(lstm_sup_e2e, 1),
                     "lstm_sup_e2e_vs_a100_sup_v43": round(
                         lstm_sup_e2e / A100["lstm_sup"], 4
