@@ -369,7 +369,7 @@ def main() -> None:
     on_tpu = jax.default_backend() == "tpu"
     hac_batches = [256, 512, 1024] if on_tpu else [8]
     fast_batches = [1024, 2048] if on_tpu else [8]
-    sup_batches = [64, 128] if on_tpu else [2]
+    sup_batches = [64, 96, 128] if on_tpu else [2]
 
     hac_e2e, hac_b, hac_sp = measure_e2e("hac", "viterbi", hac_batches)
     fast_e2e, fast_b, fast_sp = measure_e2e("fast", "viterbi", fast_batches)

@@ -771,9 +771,16 @@ def viterbi_traceback_pallas(choices, last_state, interpret: bool = False):
     t_len, n, s = choices.shape
     # wide batch tiles: the traceback is latency-bound on its serial
     # one-hot-plane chain, so give each row as much VPU width as fits
-    bn = 1
-    while bn < 512 and n % (bn * 2) == 0:
-        bn *= 2
+    # st/mv outputs are 2-D [T, N] blocks of (bt, bn): the LAST block
+    # dim must be a multiple of 128 or equal to N, so batches not
+    # divisible by 128 (sweep points like 96/192) take the whole batch
+    # as one tile (the one-hot plane is only [N, S] f32 of VMEM)
+    if n % 128 == 0:
+        bn = 128
+        while bn < 512 and n % (bn * 2) == 0:
+            bn *= 2
+    else:
+        bn = n
     # The st/mv outputs are 2-D [T, N] blocks of (bt, bn): Mosaic requires
     # the second-to-last block dim divisible by 8 for i32. T rarely has a
     # multiple-of-8 divisor, so pick bt = the largest multiple of 8 within
