@@ -227,7 +227,7 @@ def _beam_kernel(
         back_e = jnp.zeros((bn, 4 * w), jnp.float32)
         for b in range(4):
             back_e = back_e + jnp.where(
-                slot_base == b, _expand_f32(jnp.zeros_like(beam_score) + look(m_step, 16 + b), rep_ref), 0.0
+                slot_base == b, _expand_f32(look(m_step, 16 + b), rep_ref), 0.0
             )
 
         # ---- stay/step merge (beam_search.cpp:303-340), vectorised
