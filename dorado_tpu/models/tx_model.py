@@ -319,10 +319,12 @@ def tx_encoder_layer(
                 preferred_element_type=jnp.float32,
             ).astype(dtype)
         ct, st = rope_ext
-        if rope_hp is not None:
+        if rope_hp is not None and qkv_ext.dtype == jnp.bfloat16:
             # rope_hp doubles as the stacked-tables slot for the fused-RoPE
             # ext kernel (no rotated qk copy in HBM); selected by
-            # DORADO_TPU_TX_ATTN=extf in tx_forward
+            # DORADO_TPU_TX_ATTN=extf in tx_forward. f32 compute falls back
+            # to the plain ext kernel: extf's 24 VMEM blocks exceed the
+            # 16 MB scoped limit at f32 tile sizes (measured: 17.21 MB).
             from dorado_tpu.ops.attention import windowed_attention_ext_fused
 
             attn = windowed_attention_ext_fused(

@@ -107,18 +107,27 @@ class BasecallerPipeline:
         force_rna_adapter_trim: bool = False,
         mesh=None,
     ):
+        import jax
         import jax.numpy as jnp
 
         self.config = config
         if not config.has_normalised_basecaller_params():
             config.normalise_basecaller_params()
+        if compute_dtype is None:
+            # bf16 is the production setting on TPU (docs/TUNING.md; the
+            # reference runs f16 on GPU the same way) — the CLI's --dtype
+            # overrides. CPU keeps f32 (bf16 emulation there is slow and
+            # the tests compare against f32 torch).
+            compute_dtype = (
+                jnp.bfloat16 if jax.default_backend() == "tpu" else jnp.float32
+            )
         self.runner = BasecallRunner(
             config,
             params,
             chunk_size=chunk_size,
             batch_size=batch_size,
             decoder=decoder,
-            compute_dtype=compute_dtype or jnp.float32,
+            compute_dtype=compute_dtype,
             use_pallas=use_pallas,
             mesh=mesh,
         )
