@@ -584,7 +584,10 @@ class BasecallRunner:
 
     def _decode(self, out, num_chunks: int) -> list[DecodedChunk]:
         if self.decoder in ("viterbi", "beam"):
-            seq_chars, qchars, mv_packed, lengths = (np.asarray(o) for o in out)
+            # one batched fetch: per-array np.asarray pays the link's
+            # ~120 ms RPC latency 4x (196 vs 110 ms/batch measured through
+            # the tunnel; on PCIe hosts the difference is noise)
+            seq_chars, qchars, mv_packed, lengths = jax.device_get(out)
             t_len = seq_chars.shape[1]
             moves_all = np.unpackbits(
                 mv_packed, axis=1, bitorder="little", count=t_len
@@ -600,7 +603,7 @@ class BasecallRunner:
 
             return self._pool_map(materialise, num_chunks)
 
-        scores, back_guides, posts = (np.asarray(o) for o in out)
+        scores, back_guides, posts = jax.device_get(out)
 
         def decode_one(i: int) -> DecodedChunk:
             # decode part 2 on host (CUDADecoder.cpp:115 analogue): the C++
