@@ -364,12 +364,16 @@ class BasecallRunner:
             qscore = jnp.clip(phred * q_scale + q_shift, 1.0, 50.0)
             qchar = (33.5 + qscore).astype(jnp.uint8)  # valid at emit positions
 
-            # emit-position layout; 4-way select, no gather
-            seq_chars = jnp.where(
-                bases < 2,
-                jnp.where(bases == 0, ord("A"), ord("C")),
-                jnp.where(bases == 2, ord("G"), ord("T")),
-            ).astype(jnp.uint8)
+            # emit-position layout, 2-bit packed (4 bases/byte): the host
+            # maps to ASCII after the move-mask compaction. Quarters the
+            # sequence bytes leaving the chip — on the tunnelled dev link
+            # the device->host fetch is the pipeline bottleneck
+            # (docs/TUNING.md), and on PCIe it is still free bandwidth.
+            padb = (-t) % 4
+            bb = jnp.pad(bases.astype(jnp.uint8), ((0, 0), (0, padb)))
+            bb = bb.reshape(n, -1, 4)
+            bshift = (jnp.uint8(1) << (2 * jnp.arange(4, dtype=jnp.uint8)))
+            seq_packed = (bb * bshift).sum(axis=-1).astype(jnp.uint8)
 
             # lengths doubles as the tiny [N] i32 sync handle the host
             # fetches to drain the dispatch queue (block_until_ready is
@@ -381,7 +385,7 @@ class BasecallRunner:
             mv = mv.reshape(n, -1, 8)
             weights = (1 << jnp.arange(8, dtype=jnp.uint8)).astype(jnp.uint8)
             mv_packed = (mv * weights).sum(axis=-1).astype(jnp.uint8)
-            return seq_chars, qchar, mv_packed, lengths
+            return seq_packed, qchar, mv_packed, lengths
 
         fwd_scan, bwd_scan, vit_path = _decode_scan_fns(num_states * 4)
         use_fused = _use_fused_decode(num_states * 4)
@@ -587,11 +591,18 @@ class BasecallRunner:
             # one batched fetch: per-array np.asarray pays the link's
             # ~120 ms RPC latency 4x (196 vs 110 ms/batch measured through
             # the tunnel; on PCIe hosts the difference is noise)
-            seq_chars, qchars, mv_packed, lengths = jax.device_get(out)
-            t_len = seq_chars.shape[1]
+            seq_packed, qchars, mv_packed, lengths = jax.device_get(out)
+            t_len = qchars.shape[1]
             moves_all = np.unpackbits(
                 mv_packed, axis=1, bitorder="little", count=t_len
             )
+            # unpack the 2-bit base stream and map to ASCII (one vectorised
+            # pass; the device ships 4 bases/byte)
+            shifts = 2 * np.arange(4, dtype=np.uint8)
+            bases_all = (
+                (seq_packed[:, :, None] >> shifts) & 3
+            ).reshape(seq_packed.shape[0], -1)[:, :t_len]
+            seq_chars = np.frombuffer(b"ACGT", np.uint8)[bases_all]
 
             def materialise(i: int) -> DecodedChunk:
                 # device arrays are in emit-position layout; compact by the
