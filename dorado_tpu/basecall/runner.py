@@ -229,17 +229,29 @@ class BasecallRunner:
         self._use_pallas = use_pallas
 
         if config.is_tx_model:
-            from dorado_tpu.models.tx_model import quantize_tx_params, tx_forward
+            from dorado_tpu.models.tx_model import (
+                quantize_tx_params,
+                quantize_tx_params_w8a8,
+                tx_forward,
+            )
 
-            # W8A8 encoder matmuls (the TPU analogue of the reference's
-            # quantised Koi kernels): int8 measured *slower* than bf16 here
-            # (the int8 MXU rate is not exposed: chained square matmuls
-            # reach 179 TOPS int8 vs 118-179 TF/s bf16, and the dynamic
-            # activation-quant pass costs more than it saves), so bf16 is
-            # the default; the W8A8 path stays as an opt-in for toolchains
-            # where int8 lowers at full rate.
-            tx_precision = os.environ.get("DORADO_TPU_TX_PRECISION", "bf16")
-            if tx_precision == "int8":
+            # W8A8 encoder matmuls on the Pallas int8 MXU kernels
+            # (ops/int8_matmul.py) are the default on TPU — the analogue of
+            # the reference's quantised Koi Tx tiles (nn/TxModules.h:95-117).
+            # Round 4 concluded int8 was not worth it from a chained-matmul
+            # harness whose dependent requants stalled the MXU; with a real
+            # batched grid the int8 rate is ~2x bf16 (measured 210 TOP/s at
+            # fc1 shapes vs 144 TF/s bf16) and sup e2e improves. "bf16"
+            # forces full precision; "int8" keeps the legacy XLA dot path.
+            default_precision = (
+                "w8a8" if jax.default_backend() == "tpu" else "bf16"
+            )
+            tx_precision = os.environ.get(
+                "DORADO_TPU_TX_PRECISION", default_precision
+            )
+            if tx_precision == "w8a8":
+                self.params = quantize_tx_params_w8a8(self.params)
+            elif tx_precision == "int8":
                 self.params = quantize_tx_params(self.params)
 
             def fwd_tm(p, sig):

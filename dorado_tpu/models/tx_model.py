@@ -136,6 +136,39 @@ def quantize_tx_params(params: Params) -> Params:
     return out
 
 
+def quantize_tx_params_w8a8(params: Params) -> Params:
+    """W8A8 precision for the encoder's fat matmuls (wqkv, fc1, fc2),
+    consumed by the Pallas int8 MXU kernels (ops/int8_matmul.py) with
+    dynamic per-token activation quantisation at the use sites.
+
+    Weights stay row-major [O, K] (`_w8` int8 + `_w8s` f32 scales) so the
+    RoPE row permutations in tx_forward commute with quantisation; the
+    contraction-major transpose happens trace-time (to_qt in tx_forward).
+    The residual stream, norms, attention, out_proj, upsample and CRF head
+    stay in the compute dtype — the precision split of the reference's
+    quantised Koi Tx path (dorado/nn/TxModules.h:95-117)."""
+    out = dict(params)
+    layers = []
+    for p in params["layers"]:
+        q = {k: v for k, v in p.items() if k not in ("wqkv", "fc1", "fc2")}
+        # fc1 is stored split into its SwiGLU halves (value rows then gate
+        # rows, the jnp.split order below) for the fused fc1+silu+requant
+        # kernel (ops/int8_matmul.py::swiglu_w8a8)
+        ffn = p["fc1"].shape[0] // 2
+        for name, w in (
+            ("wqkv", p["wqkv"]),
+            ("fc1_y", p["fc1"][:ffn]),
+            ("fc1_g", p["fc1"][ffn:]),
+            ("fc2", p["fc2"]),
+        ):
+            wq, ws = _quantize_rows(w)
+            q[name + "_w8"] = wq
+            q[name + "_w8s"] = ws
+        layers.append(q)
+    out["layers"] = layers
+    return out
+
+
 def _q8_act(x: jnp.ndarray) -> tuple[jnp.ndarray, jnp.ndarray]:
     """Dynamic symmetric per-token int8 activation quantisation:
     [N, T, K] -> (int8 [N, T, K], f32 scale [N, T, 1])."""
@@ -271,7 +304,11 @@ def tx_encoder_layer(
     # the fused kernel is Mosaic (TPU-only); its kv blocks cover windows up
     # to 128 keys each side (sup uses [127, 128])
     if jax.default_backend() != "tpu" or max(win) > 128:
-        if "wqkv_q" in p:
+        if "wqkv_qt" in p:
+            from dorado_tpu.ops.int8_matmul import w8a8_matmul_fq
+
+            qkv = w8a8_matmul_fq(x, p["wqkv_qt"], p["wqkv_qs"], out_dtype=dtype)
+        elif "wqkv_q" in p:
             xq, xs = _q8_act(x)
             qkv = _mm_q8(xq, xs, p["wqkv_q"], p["wqkv_s"]).astype(dtype)
         else:
@@ -284,14 +321,20 @@ def tx_encoder_layer(
         k = apply_rope(qkv4[:, :, 1], cos, sin)
         v = qkv4[:, :, 2]
         attn = windowed_attention(q, k, v, win[0], win[1]).reshape(n, t, c)
-    elif "wqkv_hp" in p or "wqkv_hp_q" in p:
+    elif "wqkv_hp" in p or "wqkv_hp_q" in p or "wqkv_hp_qt" in p:
         # plain-width qkv with halves-major q/k rows: RoPE runs inside the
         # banded kernel on VMEM tiles (ops/attention.py
         # windowed_attention_halfperm); no rotated q/k copy in HBM and no
         # duplicated swap rows in the projection
         from dorado_tpu.ops.attention import windowed_attention_halfperm
 
-        if "wqkv_hp_q" in p:
+        if "wqkv_hp_qt" in p:
+            from dorado_tpu.ops.int8_matmul import w8a8_matmul_fq
+
+            qkv = w8a8_matmul_fq(
+                x, p["wqkv_hp_qt"], p["wqkv_hp_qs"], out_dtype=dtype
+            )
+        elif "wqkv_hp_q" in p:
             xq, xs = _q8_act(x)
             qkv = _mm_q8(xq, xs, p["wqkv_hp_q"], p["wqkv_hp_s"]).astype(dtype)
         else:
@@ -302,13 +345,24 @@ def tx_encoder_layer(
         attn = windowed_attention_halfperm(
             qkv, rope_hp, nhead, win[0], win[1]
         )
-    elif rope_ext is not None and ("wqkv_ext" in p or "wqkv_ext_q" in p):
+    elif rope_ext is not None and (
+        "wqkv_ext" in p or "wqkv_ext_q" in p or "wqkv_ext_qt" in p
+    ):
         # extended projection [q|k|v|q_swap|k_swap]: RoPE is a contiguous
         # full-width FMA, banded attention in Pallas
         # (ops/attention.py windowed_attention_ext)
         from dorado_tpu.ops.attention import windowed_attention_ext
 
-        if "wqkv_ext_q" in p:
+        if "wqkv_ext_qt" in p:
+            # W8A8 MXU kernel with in-kernel activation quant: the residual
+            # stream enters as bf16 (same HBM read as the bf16 path) and
+            # the int8 systolic contraction runs at the doubled issue rate
+            from dorado_tpu.ops.int8_matmul import w8a8_matmul_fq
+
+            qkv_ext = w8a8_matmul_fq(
+                x, p["wqkv_ext_qt"], p["wqkv_ext_qs"], out_dtype=dtype
+            )
+        elif "wqkv_ext_q" in p:
             xq, xs = _q8_act(x)
             qkv_ext = _mm_q8(
                 xq, xs, p["wqkv_ext_q"], p["wqkv_ext_s"]
@@ -337,10 +391,15 @@ def tx_encoder_layer(
         # as an XLA pre-pass (ops/attention.py windowed_attention_qkv_rope)
         from dorado_tpu.ops.attention import windowed_attention_qkv_rope
 
-        qkv = jnp.einsum(
-            "ntc,gc->ntg", x, p["wqkv"].astype(dtype),
-            preferred_element_type=jnp.float32,
-        ).astype(dtype)
+        if "wqkv_qt" in p:
+            from dorado_tpu.ops.int8_matmul import w8a8_matmul_fq
+
+            qkv = w8a8_matmul_fq(x, p["wqkv_qt"], p["wqkv_qs"], out_dtype=dtype)
+        else:
+            qkv = jnp.einsum(
+                "ntc,gc->ntg", x, p["wqkv"].astype(dtype),
+                preferred_element_type=jnp.float32,
+            ).astype(dtype)
         attn = windowed_attention_qkv_rope(qkv, cos, sin, nhead, win[0], win[1])
     import os
 
@@ -373,6 +432,25 @@ def tx_encoder_layer(
 
         x = rms_norm(attn + x * jnp.asarray(alpha, dtype), p["norm1"])
 
+    if "fc1_y_qt" in p:
+        # W8A8 feed-forward: activation quant as plain XLA (quantize_rows,
+        # fuses into the RMSNorm that produced x), then the fused
+        # fc1+SwiGLU+requant kernel — the [M, 2*ffn] intermediate never
+        # touches HBM — and the int8 fc2 matmul
+        from dorado_tpu.ops.int8_matmul import (
+            quantize_rows,
+            swiglu_w8a8,
+            w8a8_matmul,
+        )
+
+        xq8, xs8 = quantize_rows(x)
+        tq8, ts8 = swiglu_w8a8(
+            xq8, xs8,
+            p["fc1_y_qt"], p["fc1_y_qs"],
+            p["fc1_g_qt"], p["fc1_g_qs"],
+        )
+        f = w8a8_matmul(tq8, ts8, p["fc2_qt"], p["fc2_qs"], out_dtype=dtype)
+        return rms_norm(f + x * jnp.asarray(alpha, dtype), p["norm2"])
     if "fc1_q" in p:
         xq, xs = _q8_act(x)
         ff = _mm_q8(xq, xs, p["fc1_q"], p["fc1_s"]).astype(dtype)
@@ -447,6 +525,12 @@ def tx_forward(
 
         def to_hp(p):
             # the row permutation commutes with per-row int8 quantisation
+            if "wqkv_w8" in p and p["wqkv_w8"].shape[0] == 3 * hd:
+                return {
+                    **p,
+                    "wqkv_hp_w8": p["wqkv_w8"][rows],
+                    "wqkv_hp_w8s": p["wqkv_w8s"][rows],
+                }
             if "wqkv_q" in p and p["wqkv_q"].shape[0] == 3 * hd:
                 return {
                     **p,
@@ -475,6 +559,16 @@ def tx_forward(
         def extend(p):
             # the RoPE-swap row permutation commutes with per-row int8
             # quantisation, so the quantised path permutes rows + scales
+            if "wqkv_w8" in p and p["wqkv_w8"].shape[0] >= hd2:
+                return {
+                    **p,
+                    "wqkv_ext_w8": jnp.concatenate(
+                        [p["wqkv_w8"], p["wqkv_w8"][perm]], axis=0
+                    ),
+                    "wqkv_ext_w8s": jnp.concatenate(
+                        [p["wqkv_w8s"], p["wqkv_w8s"][perm]], axis=0
+                    ),
+                }
             if "wqkv_q" in p and p["wqkv_q"].shape[0] >= hd2:
                 return {
                     **p,
@@ -495,6 +589,30 @@ def tx_forward(
             return p
 
         layers = [extend(p) for p in layers]
+
+    if any("_w8" in k for k in layers[0]):
+        # contraction-major transpose for the W8A8 kernels, trace-time
+        # (outside the layer scan, so the transposes run once per step, not
+        # per layer iteration). The un-permuted wqkv is dropped when an
+        # ext/hp variant replaced it.
+        def to_qt(p):
+            q = {
+                k: v
+                for k, v in p.items()
+                if not (k.endswith("_w8") or k.endswith("_w8s"))
+            }
+            skip_base = "wqkv_ext_w8" in p or "wqkv_hp_w8" in p
+            for key, v in p.items():
+                if not key.endswith("_w8"):
+                    continue
+                name = key[:-3]
+                if name == "wqkv" and skip_base:
+                    continue
+                q[name + "_qt"] = v.T
+                q[name + "_qs"] = p[name + "_w8s"][None, :]
+            return q
+
+        layers = [to_qt(p) for p in layers]
 
     same_structure = len({tuple(sorted(p.keys())) for p in layers}) == 1
     if same_structure and len(layers) > 1:
