@@ -249,13 +249,26 @@ def measure_modbase() -> float:
     return tput
 
 
-def measure_pipeline() -> float:
+def measure_pipeline() -> dict:
     """Full POD5 -> BAM CLI run on this chip: the reference's headline
     `> Basecalled @ Samples/s` metric (ProgressTracker.cpp:73-77), over
     reference reads with realistic lengths (single_channel_multi_read
     fixture, 3 reads / 1.87 Msamples) symlink-replicated to >= 20 s of
-    device work. Random hac weights (throughput only). Returns samples/s
-    as computed by the CLI's own stats line."""
+    device work.
+
+    Random hac weights with the CRF head scaled x60 so the Viterbi path
+    emits at REALISTIC base density (~0.96 moves per stride slot, i.e. ~1
+    base per 6.2 samples vs ~1/9.5 for real hac models — slightly MORE
+    finisher load than production). Unscaled random heads emit ~0 bases
+    (the fixed stay score dominates), leaving the stitch/qstring/tag/BGZF
+    host path idle. Calibration measured 2026-08-20: head-mult 32 -> move
+    density 0.006, 60 -> 0.96, 64 -> 0.99 (sharp Viterbi phase change).
+
+    Returns a dict: samples/s + bases/s of the full run, the stage-time
+    split (dispatch-wait / device-fetch / host-decode / host-finish), and
+    the no-fetch checksum-probe samples/s (DORADO_TPU_FETCH_MODE=checksum:
+    only a 4-byte scalar leaves the device, isolating feeder+device rate
+    from the D2H transport)."""
     import contextlib
     import re
     import shutil
@@ -267,7 +280,7 @@ def measure_pipeline() -> float:
     )
     if not fixture.exists():
         print("pipeline: fixture missing, skipping", file=sys.stderr)
-        return 0.0
+        return {}
 
     from dorado_tpu.cli.main import main as cli_main
     from dorado_tpu.config import load_model_config
@@ -284,11 +297,13 @@ def measure_pipeline() -> float:
             mdir / "config.toml",
         )
         cfg = load_model_config(mdir)
-        save_lstm_params(
-            cfg, init_lstm_crf_params(cfg, jax.random.PRNGKey(7)), mdir
-        )
+        params = init_lstm_crf_params(cfg, jax.random.PRNGKey(7))
+        params["linear1"] = {
+            k: v * 60.0 if k == "w" else v for k, v in params["linear1"].items()
+        }
+        save_lstm_params(cfg, params, mdir)
 
-        def run(n_copies: int, out: str) -> float:
+        def run(n_copies: int, out: str) -> dict:
             data = tmp / f"data{n_copies}"
             data.mkdir(exist_ok=True)
             for i in range(n_copies):
@@ -304,22 +319,79 @@ def measure_pipeline() -> float:
             ]
             # a real file, not StringIO: progress/stats code may call
             # sys.stderr.fileno()
-            with open(tmp / f"stderr_{n_copies}.log", "w+") as cap:
+            with open(tmp / f"stderr_{out}.log", "w+") as cap:
                 with contextlib.redirect_stderr(cap):
                     rc = cli_main(argv)
                 cap.seek(0)
                 text = cap.read()
             sys.stderr.write(text[-2000:])
             if rc not in (0, None):
-                return 0.0
+                return {}
+            res = {}
             m = re.search(r"Basecalled @ Samples/s:\s*([0-9.e+]+)", text)
-            return float(m.group(1)) if m else 0.0
+            res["samples_per_s"] = float(m.group(1)) if m else 0.0
+            m = re.search(r"Basecalled @ Bases/s:\s*([0-9.e+]+)", text)
+            res["bases_per_s"] = float(m.group(1)) if m else 0.0
+            m = re.search(
+                r"dispatch-wait ([0-9.]+)s / device-fetch ([0-9.]+)s / "
+                r"host-decode ([0-9.]+)s / host-finish ([0-9.]+) thread-s "
+                r"\(wall ([0-9.]+)s\)",
+                text,
+            )
+            if m:
+                res["stage_s"] = {
+                    "dispatch_wait": float(m.group(1)),
+                    "device_fetch": float(m.group(2)),
+                    "host_decode": float(m.group(3)),
+                    "host_finish_thread": float(m.group(4)),
+                    "wall": float(m.group(5)),
+                }
+            return res
 
         run(2, "warm.bam")  # compile-cache warmup run (lane programs)
         # sized for >= 20 s of device work at the ~58 Msamples/s e2e rate
-        return run(700, "out.bam")
+        full = run(700, "out.bam")
+        # no-fetch probe: checksum outputs, fresh lane programs
+        os.environ["DORADO_TPU_FETCH_MODE"] = "checksum"
+        try:
+            run(2, "warm_probe.bam")
+            probe = run(700, "probe.bam")
+        finally:
+            del os.environ["DORADO_TPU_FETCH_MODE"]
+        full["nofetch_samples_per_s"] = probe.get("samples_per_s", 0.0)
+        return full
     finally:
         shutil.rmtree(tmp, ignore_errors=True)
+
+
+def measure_beam_host() -> float:
+    """The reference-parity fallback: device scans + exact C++ beam search
+    on the host (decode part 2 on CPU, CUDADecoder.cpp:115). Ships
+    [N, T, C] f32 scores + back-guides + posteriors off the device — a
+    ~330 MB fetch per 32-chunk batch, so through the tunnelled dev link
+    this measures the transport; on a PCIe-class host the same fetch is
+    ~0.1 s. Few reps: each call is minutes through the tunnel."""
+    batch = 32
+    runner = build_runner("hac", "beam-host", batch)
+    sig = jnp.asarray(
+        np.random.RandomState(0).randn(batch, runner.chunk_size).astype(np.float16)
+    )
+    runner.call_chunks(np.asarray(sig, np.float16), batch)  # compile+warm
+    times = []
+    for _ in range(3):
+        t0 = time.perf_counter()
+        runner.call_chunks(np.asarray(sig, np.float16), batch)
+        times.append(time.perf_counter() - t0)
+    med = statistics.median(times)
+    spread = (max(times) - min(times)) / med
+    tput = batch * runner.chunk_size / med
+    print(
+        f"hac e2e beam-host batch {batch}: {med:.1f} s/step "
+        f"(spread {spread * 100:.1f}%), {tput / 1e6:.3f} Msamples/s "
+        f"[transport-bound through the tunnel]",
+        file=sys.stderr,
+    )
+    return tput
 
 
 def update_v5e_table(rows: dict) -> None:
@@ -399,12 +471,20 @@ def main() -> None:
         except Exception as e:
             print(f"modbase bench failed: {e}", file=sys.stderr)
 
-    pipeline = 0.0
+    pipe = {}
     if on_tpu:
         try:
-            pipeline = measure_pipeline()
+            pipe = measure_pipeline()
         except Exception as e:
             print(f"pipeline bench failed: {e}", file=sys.stderr)
+    pipeline = pipe.get("samples_per_s", 0.0)
+
+    beam_host = 0.0
+    if on_tpu:
+        try:
+            beam_host = measure_beam_host()
+        except Exception as e:
+            print(f"beam-host bench failed: {e}", file=sys.stderr)
 
     if on_tpu and hac_b and fast_b and sup_b:
         update_v5e_table(
@@ -432,17 +512,26 @@ def main() -> None:
                     "pipeline_vs_hac_e2e": round(pipeline / hac_e2e, 4)
                     if hac_e2e
                     else 0.0,
-                    # the dev link fetches device->host at ~3-5 MB/s with
-                    # ~120 ms base RPC latency (measured 2026-08-20:
-                    # [256,1666]u8 = 153 ms, [1024,1666]u8 = 311 ms, 8x8
-                    # f32 = 119 ms); a hac batch's ~3.7 MB of byte outputs
-                    # costs ~740 ms of transfer vs 176 ms of compute, so
-                    # the full-pipeline number through this tunnel is
-                    # TRANSPORT-bound, not host- or device-bound. On a
-                    # co-located host (PCIe-class link) the same outputs
-                    # move in <1 ms/batch and the host-side stage rates
-                    # (docs/TUNING.md) sustain the device figure.
-                    "pipeline_transport_bound": True,
+                    # realistic base density (head-mult 60 -> ~1 base per
+                    # 6.2 samples; real hac ~1/9.5) so the stitch/qstring/
+                    # tag/BGZF finisher runs at production load
+                    "pipeline_bases_per_s": round(pipe.get("bases_per_s", 0.0), 1),
+                    # stage split: where the pipeline wall time goes
+                    # (dispatch-wait = blocked enqueuing the device step,
+                    # device_fetch = blocked in device_get D2H, host_decode
+                    # = numpy unpack, host_finish = stitch/tags/write
+                    # thread-seconds across sink workers)
+                    "pipeline_stage_s": pipe.get("stage_s", {}),
+                    # no-fetch probe: only a 4-byte checksum leaves the
+                    # device -> feeder+device rate with D2H transport
+                    # removed. probe >> full run convicts the transport
+                    # (the tunnelled dev link here); probe ~ full run
+                    # means feed- or device-bound.
+                    "pipeline_nofetch_samples_per_s": round(
+                        pipe.get("nofetch_samples_per_s", 0.0), 1
+                    ),
+                    "beam_host_samples_per_s": round(beam_host, 1),
+                    "beam_host_vs_a100_table": round(beam_host / A100["hac"], 4),
                     "modbase_v3_chunks_per_s": round(modbase_chunks, 1),
                     "lstm_sup_e2e_samples_per_s": round(lstm_sup_e2e, 1),
                     "lstm_sup_e2e_vs_a100_sup_v43": round(

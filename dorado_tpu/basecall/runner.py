@@ -17,6 +17,7 @@ from __future__ import annotations
 
 import functools
 import os
+import time
 from dataclasses import dataclass
 
 import jax
@@ -148,6 +149,24 @@ class RunnerStats:
     batches_called: int = 0
     chunks_called: int = 0
     samples_called: int = 0  # incl. padding
+    # stage timers (the per-range split of the reference's gpu_profiling.h
+    # ProfilerRange scopes): dispatch_s = host blocked inside the async
+    # dispatch call (H2D enqueue + trace); fetch_s = blocked in
+    # jax.device_get (device compute drain + D2H transfer); host_decode_s =
+    # numpy unpack + per-chunk materialisation after the fetch
+    dispatch_s: float = 0.0
+    fetch_s: float = 0.0
+    host_decode_s: float = 0.0
+
+    def snapshot(self) -> tuple:
+        return (
+            self.batches_called,
+            self.chunks_called,
+            self.samples_called,
+            self.dispatch_s,
+            self.fetch_s,
+            self.host_decode_s,
+        )
 
 
 class BasecallRunner:
@@ -519,6 +538,23 @@ class BasecallRunner:
             "beam": device_beam,
             "beam-host": device_beam_host,
         }[decoder]
+
+        # no-fetch probe (DORADO_TPU_FETCH_MODE=checksum): reduce every
+        # output to one device-side scalar so only 4 bytes leave the chip —
+        # measures whether the feeder alone sustains the device e2e rate
+        # with the D2H transport taken out of the loop
+        self.fetch_mode = os.environ.get("DORADO_TPU_FETCH_MODE", "full")
+        if self.fetch_mode == "checksum":
+            if mesh is not None:
+                raise ValueError("checksum fetch mode is single-chip only")
+            inner_fn = base_fn
+
+            @jax.jit
+            def base_fn(p, sig):
+                outs = inner_fn(p, sig)
+                return sum(
+                    jnp.sum(o.astype(jnp.float32)) for o in outs
+                ).reshape(1, 1)
         if mesh is not None:
             from jax.sharding import NamedSharding, PartitionSpec as P
 
@@ -595,7 +631,10 @@ class BasecallRunner:
         self.stats.chunks_called += num_chunks
         self.stats.samples_called += buffer.shape[0] * buffer.shape[1]
         t_out = buffer.shape[1] // self.config.stride
-        return (self._device_fn(self.params, jnp.asarray(buffer)), num_chunks, t_out)
+        t0 = time.perf_counter()
+        handle = (self._device_fn(self.params, jnp.asarray(buffer)), num_chunks, t_out)
+        self.stats.dispatch_s += time.perf_counter() - t0
+        return handle
 
     def finish(self, handle) -> list[DecodedChunk]:
         """Block on a dispatched batch and materialise per-chunk calls."""
@@ -616,11 +655,23 @@ class BasecallRunner:
         return self.finish(self.dispatch(buffer, num_chunks))
 
     def _decode(self, out, num_chunks: int, t_out: int) -> list[DecodedChunk]:
+        if self.fetch_mode == "checksum":
+            t0 = time.perf_counter()
+            jax.device_get(out)  # 4-byte scalar: drains the dispatch queue
+            self.stats.fetch_s += time.perf_counter() - t0
+            zero = np.zeros(t_out, np.uint8)
+            return [
+                DecodedChunk(sequence="", qstring="", moves=zero)
+                for _ in range(num_chunks)
+            ]
         if self.decoder in ("viterbi", "beam"):
             # one batched fetch: per-array np.asarray pays the link's
             # ~120 ms RPC latency 4x (196 vs 110 ms/batch measured through
             # the tunnel; on PCIe hosts the difference is noise)
+            t0 = time.perf_counter()
             seq_packed, qual_packed, mv_packed, lengths = jax.device_get(out)
+            t1 = time.perf_counter()
+            self.stats.fetch_s += t1 - t0
             t_len = t_out
             moves_all = np.unpackbits(
                 mv_packed, axis=1, bitorder="little", count=t_len
@@ -654,9 +705,14 @@ class BasecallRunner:
                 qstring = qchars[i][mask].tobytes().decode()
                 return DecodedChunk(sequence=seq, qstring=qstring, moves=moves_all[i])
 
-            return self._pool_map(materialise, num_chunks)
+            res = self._pool_map(materialise, num_chunks)
+            self.stats.host_decode_s += time.perf_counter() - t1
+            return res
 
+        t0 = time.perf_counter()
         scores, back_guides, posts = jax.device_get(out)
+        t1 = time.perf_counter()
+        self.stats.fetch_s += t1 - t0
 
         def decode_one(i: int) -> DecodedChunk:
             # decode part 2 on host (CUDADecoder.cpp:115 analogue): the C++
@@ -676,4 +732,6 @@ class BasecallRunner:
             )
             return DecodedChunk(sequence=seq, qstring=qstring, moves=moves)
 
-        return self._pool_map(decode_one, num_chunks)
+        res = self._pool_map(decode_one, num_chunks)
+        self.stats.host_decode_s += time.perf_counter() - t1
+        return res

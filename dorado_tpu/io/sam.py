@@ -213,9 +213,21 @@ class BamWriter:
     ``write_index(fh)`` after the records."""
 
     def __init__(
-        self, fileobj: BinaryIO, header: SamHeader, level: int = 6, index: bool = False
+        self,
+        fileobj: BinaryIO,
+        header: SamHeader,
+        level: int = 6,
+        index: bool = False,
+        threads: int | None = None,
     ):
-        self._bgzf = BgzfWriter(fileobj, level=level)
+        if threads is None:
+            # parallel BGZF compression (htslib bgzf_mt analogue) except
+            # when BAI building needs per-record virtual offsets, which
+            # would force a drain on every record
+            import os
+
+            threads = 0 if index else min(8, os.cpu_count() or 1)
+        self._bgzf = BgzfWriter(fileobj, level=level, threads=threads)
         self._ref_ids = header.ref_ids()
         text = header.to_text().encode()
         blob = b"BAM\x01" + struct.pack("<i", len(text)) + text

@@ -52,6 +52,14 @@ class PipelineStats:
     # wall time the host spent blocked in runner.finish() waiting for the
     # device — large values mean the device, not the host, is the bottleneck
     finish_wait_s: float = 0.0
+    # stage split (per-run deltas of RunnerStats timers + sink-thread time;
+    # the per-range breakdown of the reference's gpu_profiling.h scopes):
+    dispatch_wait_s: float = 0.0  # blocked in the async dispatch call
+    device_fetch_s: float = 0.0  # blocked in jax.device_get (D2H)
+    host_decode_s: float = 0.0  # numpy unpack + chunk materialisation
+    # cumulative time inside _finish_read across sink worker threads
+    # (thread-seconds: can exceed wall time)
+    host_finish_s: float = 0.0
 
     @property
     def device_idle_frac(self) -> float:
@@ -215,6 +223,10 @@ class BasecallerPipeline:
             "batch_queue_depth": sum(len(l["batch"]) for l in self._lanes),
             "device_idle_s": round(self.stats.device_idle_s, 4),
             "finish_wait_s": round(self.stats.finish_wait_s, 4),
+            "dispatch_wait_s": round(rs.dispatch_s, 4),
+            "device_fetch_s": round(rs.fetch_s, 4),
+            "host_decode_s": round(rs.host_decode_s, 4),
+            "host_finish_s": round(self.stats.host_finish_s, 4),
         }
 
     # ------------------------------------------------------------------
@@ -455,6 +467,15 @@ class BasecallerPipeline:
     # ------------------------------------------------------------------
 
     def _finish_read(self, wr: _WorkingRead) -> list[SamRecord]:
+        t_start = time.perf_counter()
+        try:
+            return self._finish_read_inner(wr)
+        finally:
+            dt = time.perf_counter() - t_start
+            with self._stats_lock:
+                self.stats.host_finish_s += dt
+
+    def _finish_read_inner(self, wr: _WorkingRead) -> list[SamRecord]:
         called = [
             CalledChunk(
                 seq=res.sequence,
@@ -698,6 +719,7 @@ class BasecallerPipeline:
         # fresh metrics per run: cumulative idle/wait across runs would
         # break derived rates (idle fraction could exceed 1.0)
         self.stats = PipelineStats()
+        rs_before = self.runner.stats.snapshot()
         self._idle_mark = t0  # initial fill counts as device idle
         self._inflight_total = 0
         deadline = t0 + max_seconds if max_seconds is not None else None
@@ -765,4 +787,8 @@ class BasecallerPipeline:
                 self._modbase_scheduler.close()
                 self._modbase_scheduler = None
         self.stats.elapsed_s = time.perf_counter() - t0
+        rs_after = self.runner.stats.snapshot()
+        self.stats.dispatch_wait_s = rs_after[3] - rs_before[3]
+        self.stats.device_fetch_s = rs_after[4] - rs_before[4]
+        self.stats.host_decode_s = rs_after[5] - rs_before[5]
         return self.stats

@@ -95,3 +95,17 @@ class ProgressTracker:
             p(f"> Padding percentage: {pct:.1f}%")
         if getattr(stats, "device_idle_s", None) is not None and elapsed_s > 0:
             p(f"> Device idle: {100.0 * stats.device_idle_s / elapsed_s:.1f}%")
+        if getattr(stats, "device_fetch_s", None) is not None and elapsed_s > 0:
+            # per-stage split (the reference exposes the analogous per-range
+            # scopes via gpu_profiling.h): dispatch-wait = blocked enqueuing
+            # the async device step; device-fetch = blocked in device_get
+            # (device drain + D2H transfer); host-decode = numpy unpack;
+            # host-finish = stitch/tags/write thread-seconds across workers
+            p(
+                "> Stage times: dispatch-wait "
+                f"{stats.dispatch_wait_s:.1f}s / device-fetch "
+                f"{stats.device_fetch_s:.1f}s / host-decode "
+                f"{stats.host_decode_s:.1f}s / host-finish "
+                f"{stats.host_finish_s:.1f} thread-s "
+                f"(wall {elapsed_s:.1f}s)"
+            )
