@@ -536,8 +536,6 @@ class BasecallerPipeline:
                         t.value = 0
                     elif t.tag == "du":
                         t.value = len(s_signal) / float(max(1, sample_rate))
-            if self.modbase_caller is not None and len(s_seq):
-                self._add_modbase_tags(rec, s_seq, s_moves, s_signal)
             barcode = None
             if self.barcode_classifier is not None and len(s_seq):
                 barcode = self._add_barcode_tags(rec, s_seq, wr.read.run_info)
@@ -545,6 +543,18 @@ class BasecallerPipeline:
                 calculator = self.poly_tail_selector.get_calculator(barcode)
                 if calculator is not None:
                     self._add_poly_a_tags(calculator, rec, wr, s_seq, s_moves)
+            # pore type / end reason / minknow event count close the read-tag
+            # block, before any MN/MM/ML (messages.cpp:134-147 order, matches
+            # the regression_test golden BAMs)
+            if wr.read.pore_type:
+                rec.tags.append(SamTag("po", "Z", wr.read.pore_type))
+            if wr.read.end_reason:
+                rec.tags.append(SamTag("er", "Z", wr.read.end_reason))
+            rec.tags.append(
+                SamTag("me", "I", wr.read.num_minknow_events & 0xFFFFFFFF)
+            )
+            if self.modbase_caller is not None and len(s_seq):
+                self._add_modbase_tags(rec, s_seq, s_moves, s_signal)
             if self.min_qscore > 0:
                 qs = next((t.value for t in rec.tags if t.tag == "qs"), 0.0)
                 if qs < self.min_qscore:
