@@ -299,6 +299,114 @@ def run_model_score_study(
     return rows
 
 
+def _observed_error(seqs: list[str], truths: list[str]) -> float:
+    """Pooled per-base error rate vs truth, Laplace-smoothed so perfect
+    samples yield a finite implied Q (the +1 keeps -10log10 defined)."""
+    from dorado_tpu.native import align
+
+    errors = sum(
+        align(s, t).distance for s, t in zip(seqs, truths) if t
+    )
+    bases = sum(len(t) for t in truths)
+    return (errors + 1) / (bases + 1)
+
+
+def fit_qscore_shift(qstrings: list[str], seqs: list[str], truths: list[str]) -> float:
+    """Fit the qbias-style shift that makes mean predicted error match the
+    observed error rate on a calibration set.
+
+    This is the mechanism the reference models ship: every config.toml
+    carries trained `qbias`/`qscale` constants applied to the raw
+    posterior-derived phreds (CRFModelConfig qbias/qscale; generate_sequence
+    applies them the same way) — calibration is a TRAINED property of a
+    model, not an emergent one. Random-weight lattices z-scored to unit
+    sigma put the softmax at an arbitrary temperature, so their raw
+    posteriors are systematically under-confident; one fitted shift
+    transfers that correction to held-out chunks."""
+    q = np.concatenate(
+        [
+            np.frombuffer(qs.encode(), np.uint8).astype(np.float64) - 33.0
+            for qs in qstrings
+            if qs
+        ]
+    )
+    pred_err = np.power(10.0, -q / 10.0).mean()
+    obs_err = _observed_error(seqs, truths)
+    return float(10.0 * np.log10(pred_err / obs_err))
+
+
+def run_calibration_study(
+    margins=(3.0, 4.0, 5.0),
+    n_chunks: int = 6,
+    chunk: int = 3996,
+    blank: float = 2.0,
+    seed: int = 0,
+) -> list[dict]:
+    """Q-score calibration on model-generated lattices: fit the qbias-style
+    shift on the first half of the chunks, evaluate mean Q vs
+    accuracy-implied Q (-10*log10(err)) on the held-out second half.
+
+    Returns rows {margin, acc, q_raw, q_cal, q_implied}: q_cal within ~2 Q
+    of q_implied demonstrates the posterior ORDERING is sound and a single
+    trained shift (what real models ship as qbias) calibrates it; q_raw
+    shows the uncalibrated under-confidence the z-scored random-weight
+    field induces."""
+    import jax
+
+    from dorado_tpu.models.crf_model import init_lstm_crf_params, lstm_crf_forward
+    from dorado_tpu.models.presets import hac_v43_config
+
+    config = hac_v43_config()
+    params = init_lstm_crf_params(config, jax.random.PRNGKey(seed))
+    rng = np.random.RandomState(seed)
+    sig = np.stack([synthetic_squiggle(rng, chunk) for _ in range(n_chunks)])
+    field = np.asarray(lstm_crf_forward(params, sig, config), np.float32)
+    field = (field - field.mean(axis=(1, 2), keepdims=True)) / np.maximum(
+        field.std(axis=(1, 2), keepdims=True), 1e-6
+    )
+    t_out = field.shape[1]
+    half = max(1, n_chunks // 2)
+
+    rows = []
+    for margin in margins:
+        seqs, quals, truths = [], [], []
+        for i in range(n_chunks):
+            path_rng = np.random.RandomState(seed * 777 + i)
+            truth, _, _, pos = _truth_path(path_rng, t_out, config.state_len)
+            scores = field[i].copy()
+            for t, c in pos:
+                scores[t, c] += margin
+            out = _decode_both(scores, blank)
+            s, q = out["viterbi"]
+            seqs.append(s)
+            quals.append(q)
+            truths.append(truth)
+        shift = fit_qscore_shift(quals[:half], seqs[:half], truths[:half])
+        ev_q, ev_s, ev_t = quals[half:], seqs[half:], truths[half:]
+        q_raw = np.concatenate(
+            [
+                np.frombuffer(q.encode(), np.uint8).astype(np.float64) - 33.0
+                for q in ev_q
+                if q
+            ]
+        )
+        mean_q = lambda q: float(  # noqa: E731
+            -10.0 * np.log10(max(np.power(10.0, -q / 10.0).mean(), 1e-30))
+        )
+        obs_err = _observed_error(ev_s, ev_t)
+        rows.append(
+            {
+                "margin": margin,
+                "acc": 1.0 - obs_err,
+                "q_raw": mean_q(q_raw),
+                "q_cal": mean_q(q_raw + shift),
+                "q_implied": float(-10.0 * np.log10(obs_err)),
+                "shift": shift,
+            }
+        )
+    return rows
+
+
 def align_divergence(a: str, b: str) -> float:
     """1 - identity between two decoded sequences (edit distance / len)."""
     from dorado_tpu.native import align

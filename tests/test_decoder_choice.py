@@ -40,6 +40,24 @@ def test_lattice_shapes_and_moves():
     assert not np.any(changed & (moves[1:] == 0))
 
 
+def test_qscore_calibration_transfers():
+    """A qbias-style shift fitted on calibration chunks lands held-out
+    mean Q near accuracy-implied Q on model-generated lattices — the
+    mechanism behind the reference's per-model trained qbias/qscale
+    (docs/decoder_choice.md calibration section). Raw random-weight
+    posteriors are under-confident (arbitrary softmax temperature from
+    the z-scored field); the ORDERING must calibrate with one shift."""
+    from dorado_tpu.decode.accuracy import run_calibration_study
+
+    rows = run_calibration_study(margins=(4.0,), n_chunks=6, chunk=1996)
+    row = rows[0]
+    # held-out calibrated Q within 3.5 of implied (eval set carries only
+    # a handful of edit errors, so implied Q moves in ~3 dB steps)
+    assert abs(row["q_cal"] - row["q_implied"]) < 3.5, row
+    # and the raw posterior really is far off without the trained shift
+    assert row["q_implied"] - row["q_raw"] > 5.0, row
+
+
 def test_model_score_study_ranking_holds():
     """On lattices with a model-generated (correlated) noise field the
     viterbi >= beam ranking must hold at the operating margin — the
