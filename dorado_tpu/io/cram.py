@@ -182,9 +182,14 @@ def write_block(
         else:
             order = 1 if len(data) >= 4096 else 0
             comp = rans4x8_encode(data, order=order)
-            gz = gzip.compress(data, 6)
-            if len(gz) < len(comp):
-                method, comp = GZIP, gz
+            # only small blocks also try gzip: on >=4 KiB entropy-rich
+            # data series order-1 rANS reliably wins, and running both
+            # codecs doubled the CRAM write CPU cost; below that (or when
+            # rANS barely compresses) gzip still gets a shot
+            if len(data) < 4096 or len(comp) > 0.9 * len(data):
+                gz = gzip.compress(data, 6)
+                if len(gz) < len(comp):
+                    method, comp = GZIP, gz
             if len(data) <= len(comp):
                 method, comp = RAW, data
     if method == GZIP:

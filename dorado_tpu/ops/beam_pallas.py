@@ -10,16 +10,21 @@ time-tiled kernel, the same treatment that took the LSE/Viterbi scans to
 dorado/basecall/decode/beam_search.cpp:126-520; the fused-kernel structure
 mirrors Koi's GPU beam (CUDADecoder.cpp:77-106).
 
-Semantics are kept IDENTICAL to ops/beam.py (itself near-bit-parity with
-the C++ host oracle), including candidate index order:
+Semantics are kept structurally identical to ops/beam.py (itself
+near-bit-parity with the C++ host oracle), including candidate index
+order; the only numeric divergence is the hi/lo bf16 limb split noted
+below (~2^-17 relative, so near-tie merge/cutoff decisions CAN differ
+from the XLA beam on adversarial inputs — this path is env-gated off by
+default):
 
   - lookups: the [r]-row one-hot einsums become lane-masked reductions
     over a prepacked [T, N, 20, r] stream (16 score columns + 4 back-guide
     columns per row; r = S/4);
   - the w -> 4w step-candidate expansion (each beam element spawns 4 step
-    candidates at slots w*4+base) is an exact one-hot repeat-4 matmul:
-    f32 payloads go hi/lo bf16 2-pass (each product against a one-hot 1.0
-    is exact and a+b reassembles f32 -- see crf_pallas._dot2), integer
+    candidates at slots w*4+base) is a one-hot repeat-4 matmul: f32
+    payloads go hi/lo bf16 2-pass (each product against a one-hot 1.0 is
+    exact per limb, but two bf16 limbs recover only ~16 of 24 mantissa
+    bits -- near-exact at ~2^-17 relative, like crf_pallas._dot2), integer
     payloads <= 2^24 go single-pass, the u32 CRC hash splits into two
     f32-exact u16 halves;
   - merge / cutoff / rank-compaction selection run as [bn, W, 5W] masked
@@ -63,7 +68,8 @@ def _rank_matrix(m: int) -> np.ndarray:
 
 
 def _expand_f32(x, rep_ref):
-    """f32 [bn, W] -> [bn, 4W] repeat-4, exact via hi/lo bf16 2-pass."""
+    """f32 [bn, W] -> [bn, 4W] repeat-4 via hi/lo bf16 2-pass (near-exact:
+    two bf16 limbs keep ~16 of 24 mantissa bits, ~2^-17 relative)."""
     hi = x.astype(jnp.bfloat16)
     lo = (x - hi.astype(jnp.float32)).astype(jnp.bfloat16)
     return jnp.dot(hi, rep_ref[:], preferred_element_type=jnp.float32) + jnp.dot(

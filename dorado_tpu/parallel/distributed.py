@@ -85,11 +85,19 @@ def barrier(name: str = "sync") -> None:
 
 
 def _bam_header_block_span(path: Path) -> int | None:
-    """Byte offset where record BGZF blocks start in ``path``, if the BAM
-    header ends exactly on a block boundary (guaranteed for files written
-    by io/sam.py BamWriter, which flushes after the header); None if the
-    header shares a block with records (foreign writer) — callers must
-    fall back to record re-encoding."""
+    info = _bam_header_info(path)
+    return info[0] if info is not None else None
+
+
+def _bam_header_info(path: Path) -> tuple[int, bytes] | None:
+    """(byte offset where record BGZF blocks start, decompressed header
+    payload) for ``path``, if the BAM header ends exactly on a block
+    boundary (guaranteed for files written by io/sam.py BamWriter, which
+    flushes after the header); None if the header shares a block with
+    records (foreign writer) — callers must fall back to record
+    re-encoding. The header payload lets the raw-splice merge verify the
+    shards' reference/read-group tables (positional in BAM records) match
+    host 0's before splicing."""
     import struct
     import zlib
 
@@ -142,7 +150,7 @@ def _bam_header_block_span(path: Path) -> int | None:
                         header_ulen = pos
             if header_ulen is not None:
                 if len(payload) == header_ulen:
-                    return coffset
+                    return coffset, payload
                 if len(payload) > header_ulen:
                     return None  # records share the header's last block
             if len(payload) > (1 << 24):  # runaway header: bail to slow path
@@ -179,8 +187,23 @@ def merge_host_bams(output: str | Path, process_count: int) -> int:
     if not shards:
         return 0
 
-    spans = {s: _bam_header_block_span(s) for s in shards}
-    own_span = _bam_header_block_span(output)
+    infos = {s: _bam_header_info(s) for s in shards}
+    spans = {s: (i[0] if i else None) for s, i in infos.items()}
+    own_info = _bam_header_info(output)
+
+    def shard_spliceable(s: Path) -> bool:
+        # raw splice is only sound when (a) the shard's decompressed
+        # header matches host 0's byte-for-byte (reference ids and read
+        # groups are positional in BAM records — a silent mismatch would
+        # mis-attribute records), and (b) the shard ends with the BGZF EOF
+        # marker (a shard from a crashed writer would otherwise lose its
+        # last 28 bytes of record data to the EOF-trim below)
+        info = infos[s]
+        if info is None or own_info is None or info[1] != own_info[1]:
+            return False
+        with open(s, "rb") as fh:
+            fh.seek(max(0, s.stat().st_size - len(BGZF_EOF)))
+            return fh.read() == BGZF_EOF
 
     def count_records(path: Path) -> int:
         # record count via the 4-byte block_size length walk over inflated
@@ -224,7 +247,14 @@ def merge_host_bams(output: str | Path, process_count: int) -> int:
         return n
 
     appended = 0
-    if own_span is not None and all(v is not None for v in spans.values()):
+    try:
+        fast_ok = own_info is not None and all(shard_spliceable(s) for s in shards)
+        counts = {s: count_records(s) for s in shards} if fast_ok else {}
+    except Exception:
+        # truncated shard / parse error: the streaming re-encode below
+        # copes record-by-record
+        fast_ok = False
+    if fast_ok:
         # raw splice: append each shard's record bytes to host 0's file
         with open(output, "r+b") as out_f:
             out_f.seek(0, os.SEEK_END)
@@ -236,7 +266,7 @@ def merge_host_bams(output: str | Path, process_count: int) -> int:
             else:
                 out_f.seek(0, os.SEEK_END)
             for s in shards:
-                appended += count_records(s)
+                appended += counts[s]
                 with open(s, "rb") as in_f:
                     in_f.seek(spans[s])
                     # copy everything except the trailing EOF marker

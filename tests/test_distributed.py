@@ -179,6 +179,57 @@ class TestMergeRawSplice:
         merged = out.read_bytes()
         assert merged == host0_bytes + shard_record_bytes + BGZF_EOF
 
+    def test_truncated_shard_falls_back_to_reencode(self, tmp_path):
+        """A shard missing its BGZF EOF (crashed writer) must NOT be raw-
+        spliced — the splice would silently cut its last 28 record bytes.
+        The merge falls back to streaming re-encode and keeps every intact
+        record."""
+        from dorado_tpu.io.bam_reader import stream_bam
+        from dorado_tpu.io.bgzf import BGZF_EOF
+        from dorado_tpu.parallel.distributed import (
+            host_output_path,
+            merge_host_bams,
+        )
+
+        out = tmp_path / "calls.bam"
+        self._write_shard(out, ["a", "b"])
+        shard = host_output_path(out, 1)
+        self._write_shard(shard, ["c", "d"])
+        shard.write_bytes(shard.read_bytes()[: -len(BGZF_EOF)])  # crash trim
+
+        appended = merge_host_bams(out, 2)
+        assert appended == 2
+        with open(out, "rb") as f:
+            _, _, records = stream_bam(f)
+            assert [r.qname for r in records] == ["a", "b", "c", "d"]
+
+    def test_header_mismatch_falls_back_to_reencode(self, tmp_path):
+        """Shards whose header differs from host 0's (reference ids are
+        positional in BAM records) must be re-encoded against host 0's
+        header, not spliced."""
+        from dorado_tpu.io.bam_reader import stream_bam
+        from dorado_tpu.io.sam import BamWriter, SamHeader, SamRecord
+        from dorado_tpu.parallel.distributed import (
+            host_output_path,
+            merge_host_bams,
+        )
+
+        out = tmp_path / "calls.bam"
+        self._write_shard(out, ["a"])
+        shard = host_output_path(out, 1)
+        hdr = SamHeader()
+        hdr.programs.append({"ID": "other", "PN": "x"})  # different header
+        with open(shard, "wb") as f:
+            w = BamWriter(f, hdr)
+            w.write(SamRecord(qname="c", seq="ACGT", qual="IIII"))
+            w.close()
+
+        appended = merge_host_bams(out, 2)
+        assert appended == 1
+        with open(out, "rb") as f:
+            _, _, records = stream_bam(f)
+            assert [r.qname for r in records] == ["a", "c"]
+
     def test_large_merge_runs_at_io_speed(self, tmp_path):
         """~40 MB of shards: the splice must not scale with record decode
         cost. Guarded loosely (seconds, not ms) to stay CI-safe; the
