@@ -118,17 +118,22 @@ def decode_bam_record(block: bytes) -> SamRecord:
         if n_cigar
         else "*"
     )
-    nib = block[p : p + (l_seq + 1) // 2]
+    nib = np.frombuffer(block[p : p + (l_seq + 1) // 2], np.uint8)
     p += (l_seq + 1) // 2
-    seq_chars = []
-    for i in range(l_seq):
-        b = nib[i // 2]
-        seq_chars.append(_SEQ_LUT[(b >> 4) if i % 2 == 0 else (b & 0xF)])
-    seq = "".join(seq_chars) if l_seq else "*"
+    if l_seq:
+        lut = np.frombuffer(_SEQ_LUT.encode(), np.uint8)
+        nibs = np.empty(2 * len(nib), np.uint8)
+        nibs[0::2] = nib >> 4
+        nibs[1::2] = nib & 0xF
+        seq = lut[nibs[:l_seq]].tobytes().decode()
+    else:
+        seq = "*"
     qual_raw = block[p : p + l_seq]
     p += l_seq
     qual = (
-        "".join(chr(min(c, 93) + 33) for c in qual_raw)
+        (
+            np.minimum(np.frombuffer(qual_raw, np.uint8), 93) + 33
+        ).astype(np.uint8).tobytes().decode("latin-1")
         if l_seq and (not qual_raw or qual_raw[0] != 0xFF)
         else "*"
     )

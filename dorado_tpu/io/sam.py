@@ -21,6 +21,11 @@ import numpy as np
 from dorado_tpu.io.bgzf import BgzfWriter
 
 _SEQ_NIBBLE = {c: i for i, c in enumerate("=ACMGRSVTWYHKDBN")}
+# vectorised byte -> nibble map (unknown bases -> N = 15)
+_SEQ_NIBBLE_LUT = np.full(256, 15, np.uint8)
+for _c, _i in _SEQ_NIBBLE.items():
+    _SEQ_NIBBLE_LUT[ord(_c)] = _i
+    _SEQ_NIBBLE_LUT[ord(_c.lower())] = _i
 
 
 @dataclass
@@ -123,16 +128,21 @@ def encode_bam_record(rec: SamRecord, ref_ids: dict[str, int] | None = None) -> 
                 num = ""
     n_cigar = len(cigar_ops)
 
-    # 4-bit packed sequence
-    packed = bytearray((l_seq + 1) // 2)
-    for i, base in enumerate(seq):
-        nib = _SEQ_NIBBLE.get(base, 15)
-        if i % 2 == 0:
-            packed[i // 2] = nib << 4
-        else:
-            packed[i // 2] |= nib
+    # 4-bit packed sequence (vectorised: the per-base python loop was the
+    # hot spot of BAM writing at realistic base rates)
+    nibs = _SEQ_NIBBLE_LUT[np.frombuffer(seq.encode(), np.uint8)]
+    if l_seq % 2:
+        nibs = np.concatenate([nibs, np.zeros(1, np.uint8)])
+    packed = ((nibs[0::2] << 4) | nibs[1::2]).tobytes()
     if rec.qual != "*" and rec.qual:
-        qual = bytes((min(ord(c) - 33, 93) for c in rec.qual))
+        qual = (
+            np.minimum(
+                np.frombuffer(rec.qual.encode(), np.uint8).astype(np.int16) - 33,
+                93,
+            )
+            .astype(np.uint8)
+            .tobytes()
+        )
     else:
         qual = b"\xff" * l_seq
 

@@ -249,7 +249,17 @@ def merge_host_bams(output: str | Path, process_count: int) -> int:
     appended = 0
     try:
         fast_ok = own_info is not None and all(shard_spliceable(s) for s in shards)
-        counts = {s: count_records(s) for s in shards} if fast_ok else {}
+        if fast_ok:
+            # zlib releases the GIL, so the per-shard count walks run
+            # concurrently (the count is the only part of the fast path
+            # that inflates payloads; unparallelised it throttled the
+            # merge below filesystem copy speed)
+            from concurrent.futures import ThreadPoolExecutor
+
+            with ThreadPoolExecutor(max_workers=min(8, len(shards))) as pool:
+                counts = dict(zip(shards, pool.map(count_records, shards)))
+        else:
+            counts = {}
     except Exception:
         # truncated shard / parse error: the streaming re-encode below
         # copes record-by-record

@@ -115,6 +115,17 @@ def test_two_process_distributed(tmp_path):
     assert any("WORKER_OK 1" in out for _, out, _ in outs)
 
 
+@pytest.mark.timeout(300)
+def test_scaling_overhead_under_budget():
+    """Orchestration overhead (init + sync + merge) stays under the 15%
+    budget at P=2 on the CPU mesh for a ~10 s compute workload — the CI
+    guard for docs/SCALING.md (full table: scaling_bench main)."""
+    from dorado_tpu.parallel.scaling_bench import run_scaling
+
+    rows = run_scaling(process_counts=(2,), batches=4000)
+    assert rows[0]["orchestration_overhead_pct"] < 15.0, rows[0]
+
+
 class TestMergeRawSplice:
     """merge_host_bams fast path: raw BGZF block splice (no record
     re-encode) for shards written by this package's BamWriter."""
