@@ -39,9 +39,11 @@ def _add_basecaller(sub: argparse._SubParsersAction) -> None:
     )
     p.add_argument(
         "--cram-rans",
-        action="store_true",
+        action=argparse.BooleanOptionalAction,
+        default=True,
         help="Compress CRAM data-series blocks with rANS 4x8 (htslib's "
-        "CRAM 3.0 default codec) instead of gzip",
+        "CRAM 3.0 default codec, on by default); --no-cram-rans falls "
+        "back to gzip",
     )
     p.add_argument("--emit-moves", action="store_true")
     p.add_argument("--emit-summary", action="store_true",
@@ -363,7 +365,7 @@ def _run_basecaller(args: argparse.Namespace) -> int:
         from dorado_tpu.io.cram import CramWriter
 
         fh = sys.stdout.buffer if out_is_stdout else open(args.output, "wb")
-        writer = CramWriter(fh, header, rans=getattr(args, "cram_rans", False))
+        writer = CramWriter(fh, header, rans=getattr(args, "cram_rans", True))
     else:
         fh = sys.stdout.buffer if out_is_stdout else open(args.output, "wb")
         writer = BamWriter(fh, header)
@@ -1319,11 +1321,19 @@ def _run_aligner(args: argparse.Namespace) -> int:
         writer = SamWriter(fh, header)
     elif not out_is_stdout and str(args.output).endswith(".cram"):
         # extension-selected CRAM, as the reference's hts_file picks
-        # OutputMode::CRAM from the path (hts_utils/sequence_file_format.cpp)
+        # OutputMode::CRAM from the path (hts_utils/sequence_file_format.cpp).
+        # Aligned output is reference-based (RR=true, htslib's default for
+        # CRAM with a reference): the aligner index already holds the
+        # contig sequences
         from dorado_tpu.io.cram import CramWriter
 
         fh = open(args.output, "wb")
-        writer = CramWriter(fh, header, rans=getattr(args, "cram_rans", False))
+        writer = CramWriter(
+            fh,
+            header,
+            rans=getattr(args, "cram_rans", True),
+            ref_seqs=dict(zip(index.names, index.seqs)),
+        )
     else:
         fh = sys.stdout.buffer if out_is_stdout else open(args.output, "wb")
         if args.no_sort:

@@ -381,9 +381,41 @@ class CompressionHeader:
     rn_preserved: bool = True
     ap_delta: bool = False
     rr: bool = False
+    # substitution matrix (5 bytes, one per ref base ACGTN; each byte packs
+    # the 2-bit substitution codes of the other 4 bases in ACGTN order)
+    sm: bytes = b"\x1b" * 5
     td: list[list[tuple[str, str]]] = field(default_factory=lambda: [[]])
     ds: dict[str, Encoding] = field(default_factory=dict)
     tag_enc: dict[int, Encoding] = field(default_factory=dict)
+
+
+# canonical substitution matrix: codes 0..3 assigned to the non-ref bases
+# in ACGTN order (byte 0b00_01_10_11 = 0x1b for every ref base)
+_SM_DEFAULT = b"\x1b" * 5
+_SM_BASES = "ACGTN"
+
+
+def _sub_code(sm: bytes, ref_base: str, read_base: str) -> int | None:
+    """2-bit substitution code for read_base given ref_base, or None if the
+    pair is not representable (non-ACGTN base)."""
+    ri = _SM_BASES.find(ref_base)
+    ci = _SM_BASES.find(read_base)
+    if ri < 0 or ci < 0 or ref_base == read_base:
+        return None
+    others = [b for b in _SM_BASES if b != ref_base]
+    k = others.index(read_base)
+    return (sm[ri] >> (2 * (3 - k))) & 3
+
+
+def _sub_base(sm: bytes, ref_base: str, code: int) -> str:
+    ri = _SM_BASES.find(ref_base)
+    if ri < 0:
+        ref_base, ri = "N", 4
+    others = [b for b in _SM_BASES if b != ref_base]
+    for k, b in enumerate(others):
+        if (sm[ri] >> (2 * (3 - k))) & 3 == code:
+            return b
+    return "N"
 
 
 def _map_bytes(entries: list[tuple[bytes, bytes]]) -> bytes:
@@ -395,16 +427,18 @@ def build_compression_header(
     ds_entries: list[tuple[str, bytes]],
     tag_entries: list[tuple[int, bytes]],
     td_lines: list[bytes],
+    rr: bool = False,
 ) -> bytes:
     td_blob = b"".join(line + b"\x00" for line in td_lines)
-    pres = _map_bytes(
-        [
-            (b"RN", b"\x01"),
-            (b"AP", b"\x00"),
-            (b"RR", b"\x00"),
-            (b"TD", write_itf8(len(td_blob)) + td_blob),
-        ]
-    )
+    entries = [
+        (b"RN", b"\x01"),
+        (b"AP", b"\x00"),
+        (b"RR", b"\x01" if rr else b"\x00"),
+    ]
+    if rr:
+        entries.append((b"SM", _SM_DEFAULT))
+    entries.append((b"TD", write_itf8(len(td_blob)) + td_blob))
+    pres = _map_bytes(entries)
     ds = _map_bytes([(k.encode(), v) for k, v in ds_entries])
     tags = _map_bytes([(write_itf8(k), v) for k, v in tag_entries])
     return pres + ds + tags
@@ -424,7 +458,7 @@ def parse_compression_header(data: bytes) -> CompressionHeader:
         elif key == b"RR":
             out.rr = bool(r.byte())
         elif key == b"SM":
-            r.read(5)
+            out.sm = r.read(5)
         elif key == b"TD":
             blob = r.read(r.itf8())
             out.td = []
@@ -603,15 +637,32 @@ _TAG_ID_BASE = 100
 
 
 class CramWriter:
-    """Streams SamRecords into CRAM 3.0 containers (non-reference mode)."""
+    """Streams SamRecords into CRAM 3.0 containers.
 
-    def __init__(self, fileobj: BinaryIO, header: SamHeader, rans: bool = False):
-        # rans=True compresses the external data-series blocks with
-        # rANS 4x8 (order-1 for large streams), htslib's CRAM 3.0 default
-        # codec, via the from-scratch coders in io/rans.py; headers stay
-        # gzip/raw. Round-trips through this module's own reader.
+    Without ``ref_seqs``: non-reference mode (preservation map RR=false,
+    htslib's ``no_ref``) — read bases are carried verbatim. With
+    ``ref_seqs`` (dict rname -> sequence): reference-based slices
+    (RR=true, htslib's default for aligned output) — mapped reads store
+    only their differences from the reference ('X' substitution features
+    with the canonical substitution matrix, I/S/D/N/H/P features for the
+    rest), which is several-fold smaller on low-divergence alignments.
+    The slice header carries the MD5 of the spanned reference region.
+    """
+
+    def __init__(
+        self,
+        fileobj: BinaryIO,
+        header: SamHeader,
+        rans: bool = True,
+        ref_seqs: dict[str, str] | None = None,
+    ):
+        # rans=True (default, as in htslib) compresses the external
+        # data-series blocks with rANS 4x8 (order-1 for large streams) via
+        # the from-scratch coders in io/rans.py; headers stay gzip/raw.
+        # Round-trips through this module's own reader.
         self.f = fileobj
         self.header = header
+        self.ref_seqs = ref_seqs
         self._ext_method = RANS4x8 if rans else None
         self.ref_ids = header.ref_ids()
         self.rg_ids = {
@@ -668,6 +719,20 @@ class CramWriter:
         slice_ref = -2 if multi_ref else ref_set.pop()
         n_bases = 0
 
+        # reference-based slice (RR=true) when a single-reference slice's
+        # sequence is available; mixed/multi-ref slices stay verbatim
+        ref_names = {i: n for n, i in self.ref_ids.items()}
+        slice_refseq = None
+        if (
+            self.ref_seqs is not None
+            and not multi_ref
+            and slice_ref >= 0
+            and ref_names.get(slice_ref) in self.ref_seqs
+        ):
+            slice_refseq = self.ref_seqs[ref_names[slice_ref]]
+        use_ref = slice_refseq is not None
+        ref_lo, ref_hi = None, 0  # spanned reference region (1-based)
+
         for rec in records:
             seq = rec.seq if rec.seq != "*" else ""
             n_bases += len(seq)
@@ -712,8 +777,14 @@ class CramWriter:
                 vst.put(vb)
 
             if mapped:
-                self._put_features(rec, seq, ints, bys)
+                ref_span = self._put_features(
+                    rec, seq, ints, bys, slice_refseq if use_ref else None
+                )
                 ints["MQ"].put(rec.mapq)
+                if use_ref and ref_span:
+                    lo, hi = rec.pos, rec.pos + ref_span - 1
+                    ref_lo = lo if ref_lo is None else min(ref_lo, lo)
+                    ref_hi = max(ref_hi, hi)
             else:
                 bys["BA"].put(seq.encode())
             if rec.qual != "*" and rec.qual:
@@ -728,7 +799,8 @@ class CramWriter:
             ds_entries.append((name, enc_external(_SERIES_IDS[sid_name or name])))
 
         for name in ("BF", "CF", "RL", "AP", "RG", "MF", "NS", "NP", "TS", "TL",
-                     "FN", "FC", "FP", "DL", "RS", "PD", "HC", "MQ", "BA", "QS"):
+                     "FN", "FC", "FP", "DL", "RS", "PD", "HC", "MQ", "BA", "QS",
+                     "BS"):
             ext(name)
         if multi_ref:
             ext("RI")
@@ -751,7 +823,9 @@ class CramWriter:
             (key, enc_byte_array_len(_TAG_ID_BASE + 2 * i, _TAG_ID_BASE + 2 * i + 1))
             for i, key in enumerate(tag_streams)
         ]
-        comp_data = build_compression_header(ds_entries, tag_entries, td_lines)
+        comp_data = build_compression_header(
+            ds_entries, tag_entries, td_lines, rr=use_ref
+        )
 
         # --- external blocks
         blocks: list[tuple[int, bytes]] = []  # (content id, data)
@@ -774,14 +848,24 @@ class CramWriter:
             for cid, data in blocks
         ]
 
+        sl_start, sl_span, sl_md5 = 0, 0, b"\x00" * 16
+        if use_ref and ref_lo is not None:
+            import hashlib
+
+            sl_start = ref_lo
+            sl_span = ref_hi - ref_lo + 1
+            sl_md5 = hashlib.md5(
+                slice_refseq[ref_lo - 1 : ref_hi].encode()
+            ).digest()
         sh = SliceHeader(
             ref_id=slice_ref,
-            start=0,
-            span=0,
+            start=sl_start,
+            span=sl_span,
             n_records=len(records),
             record_counter=self._record_counter,
             n_blocks=1 + len(ext_blocks),
             content_ids=[cid for cid, _ in blocks],
+            md5=sl_md5,
         )
         slice_block = write_block(SLICE_HEADER, 0, write_slice_header(sh), method=RAW)
         comp_block = write_block(COMPRESSION_HEADER, 0, comp_data)
@@ -791,8 +875,8 @@ class CramWriter:
         ch = ContainerHeader(
             length=len(payload),
             ref_id=slice_ref,
-            start=0,
-            span=0,
+            start=sl_start,
+            span=sl_span,
             n_records=len(records),
             record_counter=self._record_counter,
             n_bases=n_bases,
@@ -803,14 +887,38 @@ class CramWriter:
         self.f.write(payload)
         self._record_counter += len(records)
 
-    def _put_features(self, rec, seq, ints, bys) -> None:
-        """Cigar -> CRAM features, bases carried verbatim (RR=false)."""
+    def _put_features(self, rec, seq, ints, bys, refseq=None) -> int:
+        """Cigar -> CRAM features. refseq None: bases carried verbatim
+        (RR=false). refseq given: reference-based (RR=true) — aligned
+        stretches are implicit, mismatches become 'X' substitution
+        features (falling back to single-base 'b' for non-ACGTN pairs).
+        Returns the reference span consumed by the record."""
         feats: list[tuple[int, str, object]] = []  # (read pos 1-based, code, value)
         rpos = 1
+        refp = rec.pos  # 1-based reference position
+        ref_span = 0
         for n, op in _parse_cigar(rec.cigar) if rec.cigar != "*" else []:
-            if op in "M=X":
+            if op in "M=X" and refseq is not None:
+                read_seg = seq[rpos - 1 : rpos - 1 + n]
+                ref_seg = refseq[refp - 1 : refp - 1 + n]
+                for k in range(n):
+                    rb = read_seg[k]
+                    fb = ref_seg[k] if k < len(ref_seg) else "N"
+                    if rb == fb:
+                        continue
+                    code = _sub_code(_SM_DEFAULT, fb, rb)
+                    if code is None:
+                        feats.append((rpos + k, "b", rb.encode()))
+                    else:
+                        feats.append((rpos + k, "X", code))
+                rpos += n
+                refp += n
+                ref_span += n
+            elif op in "M=X":
                 feats.append((rpos, "b", seq[rpos - 1 : rpos - 1 + n].encode()))
                 rpos += n
+                refp += n
+                ref_span += n
             elif op == "I":
                 feats.append((rpos, "I", seq[rpos - 1 : rpos - 1 + n].encode()))
                 rpos += n
@@ -819,8 +927,12 @@ class CramWriter:
                 rpos += n
             elif op == "D":
                 feats.append((rpos, "D", n))
+                refp += n
+                ref_span += n
             elif op == "N":
                 feats.append((rpos, "N", n))
+                refp += n
+                ref_span += n
             elif op == "H":
                 feats.append((rpos, "H", n))
             elif op == "P":
@@ -850,6 +962,9 @@ class CramWriter:
                 ints["HC"].put(val)
             elif code == "P":
                 ints["PD"].put(val)
+            elif code == "X":
+                ints["BS"].put(val)
+        return ref_span
 
 
 # ----------------------------------------------------------------------
@@ -909,9 +1024,15 @@ class _SeriesReader:
 
 
 class CramReader:
-    """Decodes CRAM files produced by CramWriter (and compatible layouts)."""
+    """Decodes CRAM files produced by CramWriter (and compatible layouts).
 
-    def __init__(self, path_or_bytes):
+    ``ref_seqs`` (dict rname -> sequence) is required to decode
+    reference-based (RR=true) slices; with it, missing MD/NM tags on
+    mapped records are reconstructed from the reference (htslib fills
+    both in on CRAM decode the same way)."""
+
+    def __init__(self, path_or_bytes, ref_seqs: dict[str, str] | None = None):
+        self.ref_seqs = ref_seqs
         if isinstance(path_or_bytes, (bytes, bytearray)):
             data = bytes(path_or_bytes)
         else:
@@ -1019,8 +1140,21 @@ class CramReader:
 
             mapped = not (bf & 0x4)
             mapq = 0
+            md_nm_ref = None
             if mapped:
-                seq, cigar = self._decode_features(s, rl)
+                if comp.rr:
+                    rname_i = self.refs[ri] if 0 <= ri < len(self.refs) else "*"
+                    refseq = (self.ref_seqs or {}).get(rname_i)
+                    if refseq is None:
+                        raise ValueError(
+                            f"RR=true slice needs ref_seqs[{rname_i!r}] to decode"
+                        )
+                    seq, cigar = self._decode_features(
+                        s, rl, comp=comp, refseq=refseq, ap=ap
+                    )
+                    md_nm_ref = refseq
+                else:
+                    seq, cigar = self._decode_features(s, rl)
                 mapq = s["MQ"].read_int()
             else:
                 seq = s["BA"].read_bytes(rl).decode() if rl else ""
@@ -1037,6 +1171,14 @@ class CramReader:
 
             if rg >= 0 and rg < len(self.rgs):
                 tags.append(SamTag("RG", "Z", self.rgs[rg]))
+            if md_nm_ref is not None:
+                have = {t.tag for t in tags}
+                if "MD" not in have or "NM" not in have:
+                    md, nm = compute_md_nm(seq, cigar, md_nm_ref, ap)
+                    if "NM" not in have:
+                        tags.append(SamTag("NM", "i", nm))
+                    if "MD" not in have:
+                        tags.append(SamTag("MD", "Z", md))
             yield SamRecord(
                 qname=qname,
                 flag=bf,
@@ -1052,12 +1194,14 @@ class CramReader:
                 tags=tags,
             )
 
-    def _decode_features(self, s, rl: int) -> tuple[str, str]:
+    def _decode_features(
+        self, s, rl: int, comp=None, refseq: str | None = None, ap: int = 0
+    ) -> tuple[str, str]:
         fn = s["FN"].read_int()
-        seq = [""] * 0
         cigar_ops: list[tuple[int, str]] = []
         out = []
         rpos = 1
+        refp = ap  # 1-based reference position (RR=true decode)
         feats = []
         prev = 0
         for _ in range(fn):
@@ -1070,6 +1214,8 @@ class CramReader:
                 val = s["IN"].read_bytes()
             elif code == "S":
                 val = s["SC"].read_bytes()
+            elif code == "X":
+                val = s["BS"].read_int()
             elif code == "D":
                 val = s["DL"].read_int()
             elif code == "N":
@@ -1090,28 +1236,96 @@ class CramReader:
             else:
                 cigar_ops.append((n, op))
 
+        def fill_from_ref(upto_rpos):
+            """Implicit matched bases between features (RR=true only)."""
+            nonlocal rpos, refp
+            n = upto_rpos - rpos
+            if n <= 0:
+                return
+            if refseq is None:
+                raise ValueError("gap in CRAM read features without bases")
+            out.append(refseq[refp - 1 : refp - 1 + n])
+            add_op(n, "M")
+            rpos += n
+            refp += n
+
         for pos, code, val in feats:
             if code in ("b", "I", "S"):
-                if pos > rpos:
-                    raise ValueError("gap in CRAM read features without bases")
+                fill_from_ref(pos)
                 out.append(val.decode())
                 n = len(val)
                 add_op(n, {"b": "M", "I": "I", "S": "S"}[code])
                 rpos = pos + n
+                if code == "b":
+                    refp += n
+            elif code == "X":
+                fill_from_ref(pos)
+                rb = refseq[refp - 1] if refseq and refp <= len(refseq) else "N"
+                out.append(_sub_base(comp.sm if comp else _SM_DEFAULT, rb, val))
+                add_op(1, "M")
+                rpos += 1
+                refp += 1
             elif code == "D":
+                fill_from_ref(pos)
                 add_op(val, "D")
+                refp += val
             elif code == "N":
+                fill_from_ref(pos)
                 add_op(val, "N")
+                refp += val
             elif code == "H":
                 add_op(val, "H")
             elif code == "P":
                 add_op(val, "P")
+        if refseq is not None:
+            fill_from_ref(rl + 1)
         seq = "".join(out)
         if len(seq) < rl:
             # trailing bases with no feature: not produced by our writer
             raise ValueError("CRAM record shorter than RL")
         cigar = "".join(f"{n}{op}" for n, op in cigar_ops) if cigar_ops else "*"
         return seq, cigar
+
+
+def compute_md_nm(seq: str, cigar: str, refseq: str, pos: int) -> tuple[str, int]:
+    """Reconstruct the MD string and NM edit distance for an aligned read
+    against its reference (SAMtags spec; htslib regenerates both on CRAM
+    decode the same way). ``pos`` is 1-based."""
+    md_parts: list[str] = []
+    match_run = 0
+    nm = 0
+    rpos = 0  # 0-based read index
+    refp = pos - 1  # 0-based ref index
+    for n, op in _parse_cigar(cigar) if cigar != "*" else []:
+        if op in "M=X":
+            for k in range(n):
+                rb = seq[rpos + k]
+                fb = refseq[refp + k] if refp + k < len(refseq) else "N"
+                if rb == fb:
+                    match_run += 1
+                else:
+                    md_parts.append(str(match_run))
+                    md_parts.append(fb)
+                    match_run = 0
+                    nm += 1
+            rpos += n
+            refp += n
+        elif op == "I":
+            nm += n
+            rpos += n
+        elif op in "SH":
+            if op == "S":
+                rpos += n
+        elif op == "D":
+            md_parts.append(str(match_run))
+            md_parts.append("^" + refseq[refp : refp + n])
+            match_run = 0
+            nm += n
+            refp += n
+        elif op == "N":
+            refp += n
+    md_parts.append(str(match_run))
+    return "".join(md_parts), nm
 
 
 def scan_structure(path) -> dict:

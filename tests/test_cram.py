@@ -294,3 +294,192 @@ class TestRansWriter:
             w.close()
             outs[rans] = len(buf.getvalue())
         assert outs[True] < outs[False], outs
+
+
+class TestReferenceBasedMode:
+    """RR=true slices (htslib's default for aligned output): mapped reads
+    store only differences from the reference; the reader reconstructs
+    bases, CIGAR and missing MD/NM from ref_seqs."""
+
+    def _ref(self, n=50000, seed=0):
+        rng = np.random.RandomState(seed)
+        return "".join("ACGT"[i] for i in rng.randint(0, 4, n))
+
+    def _header(self, ref):
+        h = SamHeader()
+        h.references = [("chr1", len(ref))]
+        return h
+
+    def test_substitutions_roundtrip_and_md_nm(self):
+        import io as _io
+
+        rng = np.random.RandomState(1)
+        ref = self._ref()
+        recs = []
+        for i in range(40):
+            pos = int(rng.randint(1, 40000))
+            seq = list(ref[pos - 1 : pos - 1 + 2000])
+            for k in rng.choice(2000, 3, replace=False):
+                seq[k] = "ACGT"[("ACGT".index(seq[k]) + 1) % 4]
+            recs.append(
+                SamRecord(
+                    qname=f"r{i}", flag=0, rname="chr1", pos=pos, mapq=60,
+                    cigar="2000M", seq="".join(seq), qual="I" * 2000,
+                )
+            )
+        buf = _io.BytesIO()
+        w = CramWriter(buf, self._header(ref), ref_seqs={"chr1": ref})
+        for r in recs:
+            w.write(r)
+        w.close()
+        back = list(CramReader(buf.getvalue(), ref_seqs={"chr1": ref}).records())
+        assert len(back) == len(recs)
+        for a, b in zip(recs, back):
+            assert (a.seq, a.cigar, a.pos) == (b.seq, b.cigar, b.pos)
+            assert next(t.value for t in b.tags if t.tag == "NM") == 3
+            md = next(t.value for t in b.tags if t.tag == "MD")
+            assert md.count("A") + md.count("C") + md.count("G") + md.count("T") == 3
+
+    def test_indels_softclips_roundtrip(self):
+        import io as _io
+
+        ref = self._ref(1000)
+        seq = ("GGGGG" + ref[99:144] + "TTTT" + ref[144:184]
+               + ref[190:196] + "AAAA")
+        rec = SamRecord(
+            qname="x", flag=0, rname="chr1", pos=100, mapq=60,
+            cigar="5S45M4I40M6D6M4S", seq=seq, qual="I" * len(seq),
+        )
+        buf = _io.BytesIO()
+        w = CramWriter(buf, self._header(ref), ref_seqs={"chr1": ref})
+        w.write(rec)
+        w.close()
+        b = next(CramReader(buf.getvalue(), ref_seqs={"chr1": ref}).records())
+        assert b.seq == rec.seq and b.cigar == rec.cigar
+        assert next(t.value for t in b.tags if t.tag == "NM") == 10  # 4I + 6D
+        assert next(t.value for t in b.tags if t.tag == "MD") == "85^" + ref[184:190] + "6"
+
+    def test_reference_mode_much_smaller(self):
+        """Low-divergence alignments: RR=true must be several-fold smaller
+        than verbatim mode (the point of htslib's default)."""
+        import io as _io
+
+        rng = np.random.RandomState(2)
+        ref = self._ref()
+        recs = []
+        for i in range(50):
+            pos = int(rng.randint(1, 40000))
+            recs.append(
+                SamRecord(
+                    qname=f"r{i}", flag=0, rname="chr1", pos=pos, mapq=60,
+                    cigar="2000M", seq=ref[pos - 1 : pos - 1 + 2000],
+                    qual="I" * 2000,
+                )
+            )
+
+        def size(ref_seqs):
+            buf = _io.BytesIO()
+            w = CramWriter(buf, self._header(ref), ref_seqs=ref_seqs)
+            for r in recs:
+                w.write(r)
+            w.close()
+            return len(buf.getvalue())
+
+        assert size(None) > 4 * size({"chr1": ref})
+
+    def test_rr_slice_carries_reference_md5(self):
+        import hashlib
+        import io as _io
+
+        from dorado_tpu.io.cram import (
+            COMPRESSION_HEADER, SLICE_HEADER, ByteReader, CRAM_MAGIC,
+            parse_slice_header, read_block, read_container_header,
+        )
+
+        ref = self._ref(2000)
+        rec = SamRecord(
+            qname="x", flag=0, rname="chr1", pos=11, mapq=60,
+            cigar="100M", seq=ref[10:110], qual="I" * 100,
+        )
+        buf = _io.BytesIO()
+        w = CramWriter(buf, self._header(ref), ref_seqs={"chr1": ref})
+        w.write(rec)
+        w.close()
+        r = ByteReader(buf.getvalue())
+        assert r.read(4) == CRAM_MAGIC
+        r.read(2 + 20)
+        ch = read_container_header(r)  # header container
+        r.pos += ch.length
+        read_container_header(r)
+        blk = read_block(r)
+        assert blk.ctype == COMPRESSION_HEADER
+        blk = read_block(r)
+        assert blk.ctype == SLICE_HEADER
+        sh = parse_slice_header(blk.data)
+        assert sh.start == 11 and sh.span == 100
+        assert sh.md5 == hashlib.md5(ref[10:110].encode()).digest()
+
+    def test_missing_reference_raises(self):
+        import io as _io
+
+        ref = self._ref(500)
+        rec = SamRecord(
+            qname="x", flag=0, rname="chr1", pos=1, mapq=60,
+            cigar="100M", seq=ref[:100], qual="I" * 100,
+        )
+        buf = _io.BytesIO()
+        w = CramWriter(buf, self._header(ref), ref_seqs={"chr1": ref})
+        w.write(rec)
+        w.close()
+        with pytest.raises(ValueError, match="ref_seqs"):
+            list(CramReader(buf.getvalue()).records())
+
+
+class TestComputeMdNm:
+    def test_spec_example(self):
+        from dorado_tpu.io.cram import compute_md_nm
+
+        ref = "CAGTACGTACGT"
+        #       ||x||   (pos 2, 5M: AGxAC vs ref AGTAC)
+        md, nm = compute_md_nm("AGCAC", "5M", ref, 2)
+        assert (md, nm) == ("2T2", 1)
+        md, nm = compute_md_nm("AGTA" + "GG" + "CGT", "4M2I3M", ref, 2)
+        assert (md, nm) == ("7", 2)
+        md, nm = compute_md_nm("AGTA" + "TAC", "4M2D3M", ref, 2)
+        assert (md, nm) == ("4^CG3", 2)
+
+
+class TestGoldenHtslibSizeParity:
+    """Re-emitting the reference's htslib-written CRAM records through this
+    writer (rANS default) must land within 1.5x of htslib's size."""
+
+    def test_size_within_budget(self):
+        p = Path(
+            "/root/reference/regression_test/ref/linux/basecalling/"
+            "Kit14_hac_cram/out.cram"
+        )
+        if not p.exists():
+            pytest.skip("reference golden CRAM not available")
+        import io as _io
+
+        rd = CramReader(p)
+        recs = list(rd.records())
+        assert len(recs) == 20
+        header = SamHeader()
+        for line in rd.header_text.splitlines():
+            if line.startswith("@RG"):
+                header.read_groups.append(
+                    {f[:2]: f[3:] for f in line.split("\t")[1:]}
+                )
+        buf = _io.BytesIO()
+        w = CramWriter(buf, header, rans=True)
+        for r in recs:
+            w.write(r)
+        w.close()
+        ratio = len(buf.getvalue()) / p.stat().st_size
+        assert ratio < 1.5, ratio
+        # and it round-trips
+        back = list(CramReader(buf.getvalue()).records())
+        assert [(r.qname, r.seq, r.qual) for r in back] == [
+            (r.qname, r.seq, r.qual) for r in recs
+        ]
