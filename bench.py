@@ -239,7 +239,9 @@ def measure_modbase() -> float:
     def sync(out):
         np.asarray(out.ravel()[:1])
 
-    med, spread = median_time(dispatch, sync)
+    # 9 groups: the short (~11 ms) modbase step is the row most exposed to
+    # tunnel jitter — round-4's 5-group spread was 13.6%
+    med, spread = median_time(dispatch, sync, groups=9)
     tput = batch / med
     print(
         f"modbase v3 batch {batch} chunk {chunk}: {med * 1e3:.2f} ms/step "
