@@ -545,8 +545,8 @@ class BasecallRunner:
         # with the D2H transport taken out of the loop
         self.fetch_mode = os.environ.get("DORADO_TPU_FETCH_MODE", "full")
         if self.fetch_mode == "checksum":
-            if mesh is not None:
-                raise ValueError("checksum fetch mode is single-chip only")
+            # also mesh-safe: under shard_map each shard reduces to its own
+            # [1, 1] scalar and the data axis concatenates them
             inner_fn = base_fn
 
             @jax.jit

@@ -244,6 +244,32 @@ class TestPipeline:
         stats = pipeline.run(POD5_DIR, NullWriter())
         assert stats.samples_incl_padding >= stats.samples_processed
         assert stats.batches >= 1
+        # stage split (per-run deltas; the gpu_profiling.h-style breakdown)
+        assert stats.dispatch_wait_s > 0
+        assert stats.device_fetch_s > 0
+        assert stats.host_finish_s > 0
+        # a second run must report fresh (not cumulative) stage times
+        stats2 = pipeline.run(POD5_DIR, NullWriter())
+        assert stats2.device_fetch_s < stats.device_fetch_s + stats2.elapsed_s
+
+    def test_nofetch_checksum_probe(self, fast_model_dir, monkeypatch):
+        """DORADO_TPU_FETCH_MODE=checksum: only a scalar leaves the device;
+        the pipeline still feeds/dispatches every sample but emits no
+        bases (the transport-isolation probe bench.py runs)."""
+        monkeypatch.setenv("DORADO_TPU_FETCH_MODE", "checksum")
+        config, params = load_model(fast_model_dir)
+        pipeline = BasecallerPipeline(
+            config, params, chunk_size=4000, batch_size=4, decoder="viterbi"
+        )
+
+        class NullWriter:
+            def write(self, rec):
+                pass
+
+        stats = pipeline.run(POD5_DIR, NullWriter())
+        assert stats.samples_processed > 0
+        assert stats.bases_called == 0
+        assert stats.reads_called == 3
 
 
 def test_chunk_lane_ladder(monkeypatch):
