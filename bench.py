@@ -357,16 +357,19 @@ def measure_pipeline() -> dict:
         full = run(700, "out.bam")
         rerun = run(700, "out2.bam")
         a, b = full.get("samples_per_s", 0.0), rerun.get("samples_per_s", 0.0)
+        if b > a:
+            full = rerun  # report the better run (+ its stage split)
         if a and b:
-            spread = round(200.0 * abs(a - b) / (a + b), 1)
-            if b > a:
-                full = rerun  # report the better run (+ its stage split)
-            full["spread_pct"] = spread
-        # no-fetch probe: checksum outputs, fresh lane programs
+            full["spread_pct"] = round(200.0 * abs(a - b) / (a + b), 1)
+        # no-fetch probe: checksum outputs, fresh lane programs; a probe
+        # failure must not discard the completed full-run measurements
+        probe = {}
         os.environ["DORADO_TPU_FETCH_MODE"] = "checksum"
         try:
             run(2, "warm_probe.bam")
             probe = run(700, "probe.bam")
+        except Exception as e:
+            print(f"pipeline nofetch probe failed: {e}", file=sys.stderr)
         finally:
             del os.environ["DORADO_TPU_FETCH_MODE"]
         full["nofetch_samples_per_s"] = probe.get("samples_per_s", 0.0)

@@ -323,13 +323,14 @@ def fit_qscore_shift(qstrings: list[str], seqs: list[str], truths: list[str]) ->
     sigma put the softmax at an arbitrary temperature, so their raw
     posteriors are systematically under-confident; one fitted shift
     transfers that correction to held-out chunks."""
-    q = np.concatenate(
-        [
-            np.frombuffer(qs.encode(), np.uint8).astype(np.float64) - 33.0
-            for qs in qstrings
-            if qs
-        ]
-    )
+    arrays = [
+        np.frombuffer(qs.encode(), np.uint8).astype(np.float64) - 33.0
+        for qs in qstrings
+        if qs
+    ]
+    if not arrays:
+        return 0.0  # nothing decoded on the calibration set: no correction
+    q = np.concatenate(arrays)
     pred_err = np.power(10.0, -q / 10.0).mean()
     obs_err = _observed_error(seqs, truths)
     return float(10.0 * np.log10(pred_err / obs_err))

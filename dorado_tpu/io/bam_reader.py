@@ -19,6 +19,7 @@ import numpy as np
 from dorado_tpu.io.sam import SamRecord, SamTag
 
 _SEQ_LUT = "=ACMGRSVTWYHKDBN"
+_SEQ_LUT_BYTES = np.frombuffer(_SEQ_LUT.encode(), np.uint8)
 _CIGAR_OPS = "MIDNSHP=X"
 
 
@@ -121,7 +122,7 @@ def decode_bam_record(block: bytes) -> SamRecord:
     nib = np.frombuffer(block[p : p + (l_seq + 1) // 2], np.uint8)
     p += (l_seq + 1) // 2
     if l_seq:
-        lut = np.frombuffer(_SEQ_LUT.encode(), np.uint8)
+        lut = _SEQ_LUT_BYTES
         nibs = np.empty(2 * len(nib), np.uint8)
         nibs[0::2] = nib >> 4
         nibs[1::2] = nib & 0xF

@@ -46,6 +46,10 @@ FILE_HEADER, COMPRESSION_HEADER, SLICE_HEADER, _RESERVED, EXTERNAL, CORE = range
 CF_QS_PRESERVED = 0x1
 CF_DETACHED = 0x2
 CF_MATE_DOWNSTREAM = 0x4
+# "decode SEQ as '*'" (CRAM spec CF bit 3): set for mapped records written
+# with unknown bases (e.g. secondary alignments); their cigar features
+# carry N-placeholder payloads so alignment structure round-trips
+CF_NO_SEQ = 0x8
 CF_NO_SEQ = 0x8
 
 _SEQS_PER_SLICE = 4096
@@ -737,11 +741,20 @@ class CramWriter:
             seq = rec.seq if rec.seq != "*" else ""
             n_bases += len(seq)
             mapped = not (rec.flag & 0x4) and rec.rname != "*"
+            # mapped records with unknown bases (SEQ '*' but a real cigar,
+            # e.g. secondary alignments): CF_NO_SEQ + N-placeholder
+            # payloads keep the alignment structure without inventing
+            # reference bases on decode
+            no_seq = mapped and not seq and rec.cigar != "*"
+            if no_seq:
+                seq = "N" * sum(
+                    n for n, op in _parse_cigar(rec.cigar) if op in "MIS=X"
+                )
             tags = [t for t in rec.tags if t.tag != "RG"]
             rg_tag = next((t for t in rec.tags if t.tag == "RG"), None)
 
             ints["BF"].put(rec.flag)
-            cf = CF_QS_PRESERVED | CF_DETACHED
+            cf = CF_QS_PRESERVED | CF_DETACHED | (CF_NO_SEQ if no_seq else 0)
             ints["CF"].put(cf)
             if multi_ref:
                 ints["RI"].put(self.ref_ids.get(rec.rname, -1))
@@ -778,7 +791,8 @@ class CramWriter:
 
             if mapped:
                 ref_span = self._put_features(
-                    rec, seq, ints, bys, slice_refseq if use_ref else None
+                    rec, seq, ints, bys,
+                    slice_refseq if use_ref and not no_seq else None,
                 )
                 ints["MQ"].put(rec.mapq)
                 if use_ref and ref_span:
@@ -897,6 +911,13 @@ class CramWriter:
         rpos = 1
         refp = rec.pos  # 1-based reference position
         ref_span = 0
+        if not seq:
+            # seq-less mapped records (e.g. secondary alignments written
+            # with SEQ '*'): nothing to diff against the reference — fall
+            # back to the verbatim feature path (empty payloads, the
+            # pre-RR behaviour; the cigar is not representable without
+            # bases in either mode)
+            refseq = None
         for n, op in _parse_cigar(rec.cigar) if rec.cigar != "*" else []:
             if op in "M=X" and refseq is not None:
                 read_seg = seq[rpos - 1 : rpos - 1 + n]
@@ -1013,6 +1034,10 @@ class _SeriesReader:
             len_enc, val_enc = e.params
             n = _SeriesReader(len_enc, self.ext).read_int()
             val = val_enc
+            if n == 0:
+                # zero-length payloads (e.g. an 'S' feature of a SEQ-less
+                # record) may have no external value block at all
+                return b""
             if val.codec == EXTERNAL_CODEC:
                 return self.ext[val.params].read(n)
             raise NotImplementedError("BYTE_ARRAY_LEN value codec")
@@ -1142,7 +1167,12 @@ class CramReader:
             mapq = 0
             md_nm_ref = None
             if mapped:
-                if comp.rr:
+                if cf & CF_NO_SEQ:
+                    # unknown-bases record: features carry N placeholders
+                    # (never reference-diffed); cigar decodes, SEQ is '*'
+                    _, cigar = self._decode_features(s, rl)
+                    seq = ""
+                elif comp.rr:
                     rname_i = self.refs[ri] if 0 <= ri < len(self.refs) else "*"
                     refseq = (self.ref_seqs or {}).get(rname_i)
                     if refseq is None:
@@ -1274,8 +1304,12 @@ class CramReader:
                 add_op(val, "N")
                 refp += val
             elif code == "H":
+                # consume implicit matches up to the clip's read position
+                # first, else '90M10H' would decode as '10H90M'
+                fill_from_ref(pos)
                 add_op(val, "H")
             elif code == "P":
+                fill_from_ref(pos)
                 add_op(val, "P")
         if refseq is not None:
             fill_from_ref(rl + 1)

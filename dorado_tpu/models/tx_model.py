@@ -101,11 +101,9 @@ def _quantize_rows(w: jnp.ndarray) -> tuple[jnp.ndarray, jnp.ndarray]:
     output channel's dynamic range independent (the standard W8 recipe;
     the reference ships int8 Koi kernels for its LSTM models the same
     way, CudaCaller.cpp precision selection)."""
-    wf = jnp.asarray(w, jnp.float32)
-    amax = jnp.max(jnp.abs(wf), axis=-1)
-    scale = jnp.maximum(amax, 1e-12) / 127.0
-    wq = jnp.clip(jnp.round(wf / scale[:, None]), -127, 127).astype(jnp.int8)
-    return wq, scale
+    from dorado_tpu.ops.int8_matmul import quantize_weight_rows
+
+    return quantize_weight_rows(w)
 
 
 def quantize_tx_params(params: Params) -> Params:

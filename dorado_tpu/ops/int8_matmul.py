@@ -44,15 +44,21 @@ from jax.experimental import pallas as pl
 # fp32 accumulate epilogue: out = acc_i32 * row_scale * col_scale
 
 
-def quantize_weight(w: jnp.ndarray) -> tuple[jnp.ndarray, jnp.ndarray]:
-    """[O, K] float weight -> ([K, O] int8, [1, O] f32 scale).
-
-    Symmetric per-output-channel amax/127 quantisation, transposed to the
-    contraction-major layout the kernels consume."""
+def quantize_weight_rows(w: jnp.ndarray) -> tuple[jnp.ndarray, jnp.ndarray]:
+    """[O, K] float weight -> ([O, K] int8, [O] f32 scale), symmetric
+    per-output-channel amax/127 quantisation. The single canonical
+    weight-quant recipe (tx_model._quantize_rows delegates here)."""
     wf = jnp.asarray(w, jnp.float32)
     amax = jnp.max(jnp.abs(wf), axis=-1)
     scale = jnp.maximum(amax, 1e-12) / 127.0
     wq = jnp.clip(jnp.round(wf / scale[:, None]), -127, 127).astype(jnp.int8)
+    return wq, scale
+
+
+def quantize_weight(w: jnp.ndarray) -> tuple[jnp.ndarray, jnp.ndarray]:
+    """[O, K] float weight -> ([K, O] int8, [1, O] f32 scale): the
+    contraction-major layout the kernels consume."""
+    wq, scale = quantize_weight_rows(w)
     return wq.T, scale[None, :]
 
 

@@ -483,3 +483,63 @@ class TestGoldenHtslibSizeParity:
         assert [(r.qname, r.seq, r.qual) for r in back] == [
             (r.qname, r.seq, r.qual) for r in recs
         ]
+
+
+class TestReferenceBasedEdgeCases:
+    def _setup(self, n=1000):
+        rng = np.random.RandomState(3)
+        ref = "".join("ACGT"[i] for i in rng.randint(0, 4, n))
+        h = SamHeader()
+        h.references = [("chr1", len(ref))]
+        return ref, h
+
+    def test_mapped_record_without_seq(self):
+        """Secondary alignments are written with SEQ '*' but a real CIGAR
+        (cli aligner semantics); the RR writer must not crash on them."""
+        import io as _io
+
+        ref, h = self._setup()
+        recs = [
+            SamRecord(
+                qname="pri", flag=0, rname="chr1", pos=100, mapq=60,
+                cigar="100M", seq=ref[99:199], qual="I" * 100,
+            ),
+            SamRecord(
+                qname="sec", flag=0x100, rname="chr1", pos=300, mapq=0,
+                cigar="10S90M", seq="*", qual="*",
+            ),
+        ]
+        buf = _io.BytesIO()
+        w = CramWriter(buf, h, ref_seqs={"chr1": ref})
+        for r in recs:
+            w.write(r)
+        w.close()
+        back = list(CramReader(buf.getvalue(), ref_seqs={"chr1": ref}).records())
+        assert back[0].seq == recs[0].seq and back[0].cigar == "100M"
+        # CF_NO_SEQ: SEQ decodes as '*', the alignment structure survives
+        assert back[1].flag == 0x100 and back[1].seq == "*"
+        assert back[1].cigar == "10S90M"
+        assert back[1].pos == 300
+
+    def test_hard_clip_order_roundtrips(self):
+        """'90M10H' must not decode as '10H90M' (the implicit-match fill
+        has to run before clip/pad feature ops)."""
+        import io as _io
+
+        ref, h = self._setup()
+        for cigar, seq in [
+            ("90M10H", ref[99:189]),
+            ("10H90M", ref[99:189]),
+            ("40M5P50M", ref[99:139] + ref[139:189]),
+        ]:
+            rec = SamRecord(
+                qname="x", flag=0, rname="chr1", pos=100, mapq=60,
+                cigar=cigar, seq=seq, qual="I" * len(seq),
+            )
+            buf = _io.BytesIO()
+            w = CramWriter(buf, h, ref_seqs={"chr1": ref})
+            w.write(rec)
+            w.close()
+            b = next(CramReader(buf.getvalue(), ref_seqs={"chr1": ref}).records())
+            assert b.cigar == cigar, (cigar, b.cigar)
+            assert b.seq == seq

@@ -248,9 +248,11 @@ class TestPipeline:
         assert stats.dispatch_wait_s > 0
         assert stats.device_fetch_s > 0
         assert stats.host_finish_s > 0
-        # a second run must report fresh (not cumulative) stage times
+        # a second run must report fresh (not cumulative) stage times:
+        # a per-run stage is a strict subset of that run's wall time
         stats2 = pipeline.run(POD5_DIR, NullWriter())
-        assert stats2.device_fetch_s < stats.device_fetch_s + stats2.elapsed_s
+        assert stats2.device_fetch_s <= stats2.elapsed_s
+        assert stats2.dispatch_wait_s <= stats2.elapsed_s
 
     def test_nofetch_checksum_probe(self, fast_model_dir, monkeypatch):
         """DORADO_TPU_FETCH_MODE=checksum: only a scalar leaves the device;
