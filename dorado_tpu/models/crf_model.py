@@ -328,7 +328,12 @@ def permute_head_params(params: Params, perm) -> Params:
     )
     out = dict(params)
     layer = dict(out[head])
-    layer["w"] = jnp.asarray(layer["w"])[perm, :]
+    if "w" in layer:
+        layer["w"] = jnp.asarray(layer["w"])[perm, :]
+    if "w8" in layer:
+        # quantised Tx head: permutation commutes with per-row quantisation
+        layer["w8"] = jnp.asarray(layer["w8"])[perm, :]
+        layer["w8s"] = jnp.asarray(layer["w8s"])[perm]
     if "b" in layer:
         layer["b"] = jnp.asarray(layer["b"])[perm]
     out[head] = layer

@@ -164,6 +164,16 @@ def quantize_tx_params_w8a8(params: Params) -> Params:
             q[name + "_w8s"] = ws
         layers.append(q)
     out["layers"] = layers
+    # The upsample + CRF head stay bf16 — NOT for accuracy (head W8
+    # measured argmax agreement 97.75% vs f32, statistically identical to
+    # bf16's own 97.86%) but for speed: quantising them measured SLOWER
+    # end-to-end (head-only 148.0 vs 145.5 ms/step at sup batch 96 on
+    # v5e). The bf16 einsum's consumers (downcast, bias add, the
+    # [N,T,C]->[T,N,C] transpose into the decode kernels) fuse into the
+    # XLA matmul epilogue; a pallas_call output is a fusion barrier, so
+    # each becomes a separate multi-GB HBM pass that costs more than the
+    # int8 MXU saves. (The tx_forward head/upsample code keeps "w8"
+    # branches so the experiment is one quantize-call away.)
     return out
 
 
@@ -635,16 +645,41 @@ def tx_forward(
     ups = params["upsample"]
     n, t, c = x.shape
     scale_factor = config.tx.upsample.scale_factor
-    x = (
-        jnp.einsum(
-            "ntc,uc->ntu", x, ups["w"].astype(dtype), preferred_element_type=jnp.float32
-        )
-        + ups["b"].astype(jnp.float32)
-    ).astype(dtype)
+    if "w8" in ups:
+        from dorado_tpu.ops.int8_matmul import w8a8_matmul_fq
+
+        # emit the compute dtype straight from the kernel: an f32 output
+        # would force a separate multi-GB downcast pass (the einsum path
+        # fuses its downcast into the matmul epilogue)
+        x = (
+            w8a8_matmul_fq(x, ups["w8"].T, ups["w8s"][None, :], out_dtype=dtype)
+            + ups["b"].astype(dtype)
+        ).astype(dtype)
+    else:
+        x = (
+            jnp.einsum(
+                "ntc,uc->ntu", x, ups["w"].astype(dtype),
+                preferred_element_type=jnp.float32,
+            )
+            + ups["b"].astype(jnp.float32)
+        ).astype(dtype)
     x = x.reshape(n, scale_factor * t, c)
 
     # LinearScaledCRF: weights scaled by crf.scale (TxModules.cpp:330-339)
-    w = (params["crf"]["w"].astype(jnp.float32) * config.tx.crf.scale).astype(dtype)
+    crf = params["crf"]
+    if "w8" in crf:
+        from dorado_tpu.ops.int8_matmul import w8a8_matmul_fq
+
+        # the static crf.scale folds into the per-channel dequant scales;
+        # scores leave in the compute dtype (the decode path stores them
+        # bf16 anyway — DORADO_TPU_DECODE_SCORES)
+        return w8a8_matmul_fq(
+            x,
+            crf["w8"].T,
+            (crf["w8s"] * config.tx.crf.scale)[None, :],
+            out_dtype=dtype,
+        )
+    w = (crf["w"].astype(jnp.float32) * config.tx.crf.scale).astype(dtype)
     scores = jnp.einsum("ntc,oc->nto", x, w, preferred_element_type=jnp.float32)
     return scores
 

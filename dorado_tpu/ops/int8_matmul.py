@@ -189,6 +189,18 @@ def _pad_rows(x2d: jnp.ndarray, bm: int) -> jnp.ndarray:
     return x2d
 
 
+def _clamp_block_m(bm: int, k: int, bn: int, in_bytes: int, out_bytes: int) -> int:
+    """Largest block_m <= bm whose double-buffered working set fits the
+    ~16 MB scoped VMEM (f32 outputs at wide bn otherwise blow the limit)."""
+    budget = 12 * (1 << 20)
+    while bm > 8:
+        need = 2 * (bm * k * in_bytes + bm * bn * out_bytes) + 2 * k * bn
+        if need <= budget:
+            break
+        bm //= 2
+    return max(bm, 8)
+
+
 @functools.partial(
     jax.jit, static_argnames=("block_m", "block_n", "out_dtype", "interpret")
 )
@@ -218,6 +230,7 @@ def w8a8_matmul(
         return out.reshape(*lead, o)
     bn = block_n or _pick_block_n(o)
     bm = min(block_m, -(-m // 8) * 8)
+    bm = _clamp_block_m(bm, k, bn, 1, jnp.dtype(out_dtype).itemsize)
     xq2 = _pad_rows(xq2, bm)
     xs2 = _pad_rows(xs2, bm)
     mp = xq2.shape[0]
@@ -264,6 +277,7 @@ def w8a8_matmul_fq(
         return out.reshape(*lead, o)
     bn = block_n or _pick_block_n(o)
     bm = min(block_m, -(-m // 8) * 8)
+    bm = _clamp_block_m(bm, k, bn, x2.dtype.itemsize, jnp.dtype(out_dtype).itemsize)
     x2 = _pad_rows(x2, bm)
     mp = x2.shape[0]
     out = pl.pallas_call(
