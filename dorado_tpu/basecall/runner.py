@@ -279,6 +279,21 @@ class BasecallRunner:
                 )
 
         else:
+            # W8A8 input projections on the Pallas LSTM path (the
+            # compute-bound matmuls of the step; the analogue of the
+            # reference's quantised Koi LSTM kernels). bf16 via
+            # DORADO_TPU_LSTM_PRECISION=bf16; widths that don't tile the
+            # MXU (fast's H=96) stay bf16 automatically.
+            lstm_precision = os.environ.get(
+                "DORADO_TPU_LSTM_PRECISION",
+                "w8a8" if use_pallas else "bf16",
+            )
+            if lstm_precision == "w8a8" and use_pallas:
+                from dorado_tpu.models.crf_model import (
+                    quantize_lstm_crf_params_w8a8,
+                )
+
+                self.params = quantize_lstm_crf_params_w8a8(self.params)
 
             def fwd_tm(p, sig):
                 # scores come out time-major straight off the Pallas stack —

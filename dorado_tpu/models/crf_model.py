@@ -198,15 +198,34 @@ def _lstm_stack_pallas(
     for i, p in enumerate(params["lstms"]):
         reverse = (i % 2 == 0) if reverse_first else (i % 2 == 1)
         bias = (p["b_ih"] + p["b_hh"]).astype(jnp.float32)
-        xproj = (
-            jnp.einsum(
-                "tnh,gh->tng",
+        if "w_ih_q" in p:
+            # W8A8 input projection on the int8 MXU (the recurrent matmul
+            # stays bf16 — it is VPU-gate-bound, ops/lstm.py): this is the
+            # compute-bound matmul of the hac step (~10.5 ms/layer bf16 at
+            # batch 1024, at the bf16 MXU peak). Bias is fused in-kernel.
+            # (Also tried: emitting int8 gates + per-row scales to halve
+            # the [T, N, 4H] output write, with in-scan dequant — measured
+            # SLOWER end-to-end, 181.2 vs 174.5 ms/step: the scan's int8
+            # load + upconvert costs more VPU than the HBM it saves.)
+            from dorado_tpu.ops.int8_matmul import w8a8_matmul_fq
+
+            xproj = w8a8_matmul_fq(
                 xt,
-                p["w_ih"].astype(dtype),
-                preferred_element_type=jnp.float32,
+                p["w_ih_q"].T,
+                p["w_ih_s"][None, :],
+                bias=bias,
+                out_dtype=dtype,
             )
-            + bias
-        ).astype(dtype)
+        else:
+            xproj = (
+                jnp.einsum(
+                    "tnh,gh->tng",
+                    xt,
+                    p["w_ih"].astype(dtype),
+                    preferred_element_type=jnp.float32,
+                )
+                + bias
+            ).astype(dtype)
         xt = lstm_scan_time_major(xproj, p["w_hh"].T.astype(dtype), reverse=reverse)
     return xt if keep_time_major else jnp.swapaxes(xt, 0, 1)
 
@@ -275,6 +294,38 @@ def lstm_stack(
         reverse = (i % 2 == 0) if reverse_first else (i % 2 == 1)
         x = lstm_layer(p, x, reverse=reverse, use_pallas=use_pallas)
     return x
+
+
+def quantize_lstm_crf_params_w8a8(params: Params) -> Params:
+    """int8 input-projection weights for the Pallas LSTM stack.
+
+    Only `w_ih` is quantised (per-output-channel symmetric int8, the same
+    recipe as the Tx encoder) — the x-projections are the compute-bound
+    matmuls of the LSTM step, already at the bf16 MXU peak; the recurrent
+    matmul stays bf16 because the recurrence is VPU-gate-bound (int8 there
+    measured no faster, ops/lstm.py::quantize_lstm_weights). The conv
+    stack, recurrent weights, biases and CRF head keep full precision —
+    the precision split of the reference's quantised Koi LSTM kernels
+    (LSTMStack.cpp:213-240 rescale path).
+
+    Layers whose widths don't tile the 128-lane MXU (fast's H=96) and
+    FLSTM layers are left untouched."""
+    from dorado_tpu.ops.int8_matmul import quantize_weight_rows
+
+    out = dict(params)
+    lstms = []
+    for p in params["lstms"]:
+        w = p.get("w_ih")
+        if w is None or w.shape[0] % 128 or w.shape[1] % 128:
+            lstms.append(p)
+            continue
+        q = {k: v for k, v in p.items() if k != "w_ih"}
+        wq, ws = quantize_weight_rows(w)
+        q["w_ih_q"] = wq
+        q["w_ih_s"] = ws
+        lstms.append(q)
+    out["lstms"] = lstms
+    return out
 
 
 def linear_crf_head(

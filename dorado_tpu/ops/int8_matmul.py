@@ -88,6 +88,19 @@ def _fq_kernel(x_ref, w_ref, ws_ref, o_ref, *, out_dtype):
     o_ref[:] = (acc.astype(jnp.float32) * s * ws_ref[:]).astype(out_dtype)
 
 
+def _fq_bias_kernel(x_ref, w_ref, ws_ref, b_ref, o_ref, *, out_dtype):
+    """fq kernel + fused f32 bias add (a separate XLA bias pass over a
+    pallas_call output would re-stream the full output through HBM)."""
+    xf = x_ref[:].astype(jnp.float32)
+    amax = jnp.max(jnp.abs(xf), axis=1, keepdims=True)
+    s = jnp.maximum(amax, 1e-12) * (1.0 / 127.0)
+    xq = jnp.round(xf * (1.0 / s)).astype(jnp.int8)
+    acc = jnp.dot(xq, w_ref[:], preferred_element_type=jnp.int32)
+    o_ref[:] = (acc.astype(jnp.float32) * s * ws_ref[:] + b_ref[:]).astype(
+        out_dtype
+    )
+
+
 def _swiglu_kernel(xq_ref, xs_ref, wy_ref, wys_ref, wg_ref, wgs_ref, tq_ref, ts_ref):
     """fc1 (both SwiGLU halves) + silu(gate)*y + per-row requant in one
     pass: the bf16 [M, 2*ffn] feed-forward intermediate never touches HBM
@@ -257,13 +270,15 @@ def w8a8_matmul_fq(
     x: jnp.ndarray,
     wq_t: jnp.ndarray,
     ws: jnp.ndarray,
-    block_m: int = 1024,
+    bias: jnp.ndarray | None = None,
+    block_m: int = 512,
     block_n: int = 0,
     out_dtype=jnp.bfloat16,
     interpret: bool = False,
 ):
     """bf16/f32 activations [..., K] @ int8 weights [K, O] -> [..., O] with
-    per-row activation quantisation fused into the kernel."""
+    per-row activation quantisation fused into the kernel. ``bias``
+    ([O] f32) is added inside the kernel (fused epilogue)."""
     k, o = wq_t.shape
     lead = x.shape[:-1]
     m = int(np.prod(lead)) if lead else 1
@@ -273,23 +288,33 @@ def w8a8_matmul_fq(
         acc = jax.lax.dot_general(
             xq2, wq_t, (((1,), (0,)), ((), ())), preferred_element_type=jnp.int32
         )
-        out = (acc.astype(jnp.float32) * xs2 * ws).astype(out_dtype)
-        return out.reshape(*lead, o)
+        out = acc.astype(jnp.float32) * xs2 * ws
+        if bias is not None:
+            out = out + bias.astype(jnp.float32)[None, :]
+        return out.astype(out_dtype).reshape(*lead, o)
     bn = block_n or _pick_block_n(o)
     bm = min(block_m, -(-m // 8) * 8)
     bm = _clamp_block_m(bm, k, bn, x2.dtype.itemsize, jnp.dtype(out_dtype).itemsize)
     x2 = _pad_rows(x2, bm)
     mp = x2.shape[0]
+    if bias is None:
+        kern = functools.partial(_fq_kernel, out_dtype=out_dtype)
+        extra_specs, extra_args = [], []
+    else:
+        kern = functools.partial(_fq_bias_kernel, out_dtype=out_dtype)
+        extra_specs = [pl.BlockSpec((1, bn), lambda i, j: (0, j))]
+        extra_args = [bias.astype(jnp.float32).reshape(1, o)]
     out = pl.pallas_call(
-        functools.partial(_fq_kernel, out_dtype=out_dtype),
+        kern,
         grid=(mp // bm, o // bn),
         in_specs=[
             pl.BlockSpec((bm, k), lambda i, j: (i, 0)),
             pl.BlockSpec((k, bn), lambda i, j: (0, j)),
             pl.BlockSpec((1, bn), lambda i, j: (0, j)),
-        ],
+        ]
+        + extra_specs,
         out_specs=pl.BlockSpec((bm, bn), lambda i, j: (i, j)),
         out_shape=jax.ShapeDtypeStruct((mp, o), out_dtype),
         interpret=interpret,
-    )(x2, wq_t, ws)
+    )(x2, wq_t, ws, *extra_args)
     return out[:m].reshape(*lead, o)

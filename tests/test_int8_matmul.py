@@ -203,3 +203,83 @@ class TestTxW8A8:
         agree = (got.argmax(-1) == ref.argmax(-1)).mean()
         assert rel < 0.06, rel
         assert agree > 0.90, agree
+
+
+class TestFqBias:
+    def test_bias_fused(self, rng):
+        x = jnp.asarray(rng.randn(24, 128).astype(np.float32))
+        w = rng.randn(256, 128).astype(np.float32)
+        wq_t, ws = quantize_weight(w)
+        b = jnp.asarray(rng.randn(256).astype(np.float32))
+        got = np.asarray(
+            w8a8_matmul_fq(x, wq_t, ws, bias=b, out_dtype=jnp.float32)
+        )
+        want = np.asarray(x) @ w.T + np.asarray(b)
+        rel = np.linalg.norm(got - want) / np.linalg.norm(want)
+        assert rel < 0.05, rel
+
+    @pytest.mark.skipif(
+        jax.default_backend() == "tpu", reason="interpret mode is a CPU check"
+    )
+    def test_bias_interpret_matches_fallback(self, rng):
+        x = jnp.asarray(rng.randn(16, 128).astype(np.float32))
+        wq_t, ws = quantize_weight(rng.randn(128, 128).astype(np.float32))
+        b = jnp.asarray(rng.randn(128).astype(np.float32))
+        ref = np.asarray(w8a8_matmul_fq(x, wq_t, ws, bias=b, out_dtype=jnp.float32))
+        got = np.asarray(
+            w8a8_matmul_fq(
+                x, wq_t, ws, bias=b, block_m=8, block_n=128,
+                out_dtype=jnp.float32, interpret=True,
+            )
+        )
+        np.testing.assert_allclose(got, ref, rtol=1e-5, atol=1e-5)
+
+
+class TestLstmW8A8:
+    def _cfg(self, name):
+        from pathlib import Path
+
+        from dorado_tpu.config import load_model_config
+
+        p = Path("/root/reference/tests/data/model_configs") / name
+        if not p.exists():
+            pytest.skip("reference model configs unavailable")
+        return load_model_config(p)
+
+    def test_hac_stack_parity(self):
+        """w8a8 input projections on the Pallas LSTM stack track the full-
+        precision scores closely (production default on TPU; the analogue
+        of the reference's quantised Koi LSTM kernels)."""
+        from dorado_tpu.models.crf_model import (
+            init_lstm_crf_params,
+            lstm_crf_forward,
+            quantize_lstm_crf_params_w8a8,
+        )
+
+        cfg = self._cfg("dna_r10.4.1_e8.2_400bps_hac@v4.3.0")
+        params = init_lstm_crf_params(cfg, jax.random.PRNGKey(0))
+        qp = quantize_lstm_crf_params_w8a8(params)
+        assert "w_ih_q" in qp["lstms"][0] and "w_ih" not in qp["lstms"][0]
+        sig = jnp.asarray(
+            np.random.RandomState(1).randn(2, 1998).astype(np.float32)
+        )
+        ref = np.asarray(lstm_crf_forward(params, sig, cfg, use_pallas=True))
+        got = np.asarray(lstm_crf_forward(qp, sig, cfg, use_pallas=True))
+        rel = np.linalg.norm(got - ref) / np.linalg.norm(ref)
+        agree = (got.argmax(-1) == ref.argmax(-1)).mean()
+        assert rel < 0.02, rel
+        assert agree > 0.98, agree
+
+    def test_fast_layers_stay_full_precision(self):
+        """fast's H=96 does not tile the 128-lane MXU: layers must pass
+        through unquantised."""
+        from dorado_tpu.models.crf_model import (
+            init_lstm_crf_params,
+            quantize_lstm_crf_params_w8a8,
+        )
+
+        cfg = self._cfg("dna_r10.4.1_e8.2_260bps_fast@v4.0.0")
+        params = init_lstm_crf_params(cfg, jax.random.PRNGKey(0))
+        qp = quantize_lstm_crf_params_w8a8(params)
+        for p in qp["lstms"]:
+            assert "w_ih" in p and "w_ih_q" not in p
