@@ -1,10 +1,13 @@
-"""W8A8 int8 matmul Pallas kernels for the transformer encoder's fat matmuls.
+"""W8A8 int8 matmul Pallas kernels for the models' fat matmuls: the Tx
+encoder (QKV / SwiGLU feed-forward) and the LSTM input projections.
 
 The TPU-native counterpart of the reference's quantised Koi tile paths
-(dorado/nn/TxModules.h:95-117): weights are pre-quantised symmetric int8
-per output channel, activations dynamically quantised symmetric int8 per
-token (row), and the MXU runs the int8 systolic contraction at its doubled
-int8 issue rate (v5e: 394 TOP/s vs 197 TF/s bf16).
+(dorado/nn/TxModules.h:95-117 for the transformer,
+LSTMStack.cpp:213-240 for the LSTM rescale path): weights are
+pre-quantised symmetric int8 per output channel, activations dynamically
+quantised symmetric int8 per token (row), and the MXU runs the int8
+systolic contraction at its doubled int8 issue rate (v5e: 394 TOP/s vs
+197 TF/s bf16).
 
 Measured on v5e (2026-08-20, M=196608 tokens, this module's kernels):
 
