@@ -288,6 +288,15 @@ class BasecallRunner:
                 "DORADO_TPU_LSTM_PRECISION",
                 "w8a8" if use_pallas else "bf16",
             )
+            if lstm_precision == "w8a8" and not use_pallas:
+                # only the Pallas stack has the quantised-projection branch
+                import sys
+
+                print(
+                    "DORADO_TPU_LSTM_PRECISION=w8a8 requires the Pallas "
+                    "LSTM path (TPU); running full precision",
+                    file=sys.stderr,
+                )
             if lstm_precision == "w8a8" and use_pallas:
                 from dorado_tpu.models.crf_model import (
                     quantize_lstm_crf_params_w8a8,

@@ -172,8 +172,22 @@ def quantize_tx_params_w8a8(params: Params) -> Params:
     # [N,T,C]->[T,N,C] transpose into the decode kernels) fuse into the
     # XLA matmul epilogue; a pallas_call output is a fusion barrier, so
     # each becomes a separate multi-GB HBM pass that costs more than the
-    # int8 MXU saves. (The tx_forward head/upsample code keeps "w8"
-    # branches so the experiment is one quantize-call away.)
+    # int8 MXU saves. quantize_tx_head_w8a8 below re-enables the
+    # experiment.
+    return out
+
+
+def quantize_tx_head_w8a8(params: Params) -> Params:
+    """Additionally quantise the upsample + CRF head (measured SLOWER
+    end-to-end on v5e — see the note in quantize_tx_params_w8a8 — kept
+    for re-running the experiment on other toolchains). NOTE: the
+    quantised head emits scores in the COMPUTE dtype (bf16 on TPU; what
+    the decode path stores anyway) while the einsum head returns f32."""
+    out = dict(params)
+    uw, us = _quantize_rows(params["upsample"]["w"])
+    out["upsample"] = {"w8": uw, "w8s": us, "b": params["upsample"]["b"]}
+    cw, cs = _quantize_rows(params["crf"]["w"])
+    out["crf"] = {"w8": cw, "w8s": cs}
     return out
 
 
@@ -648,13 +662,13 @@ def tx_forward(
     if "w8" in ups:
         from dorado_tpu.ops.int8_matmul import w8a8_matmul_fq
 
-        # emit the compute dtype straight from the kernel: an f32 output
-        # would force a separate multi-GB downcast pass (the einsum path
-        # fuses its downcast into the matmul epilogue)
-        x = (
-            w8a8_matmul_fq(x, ups["w8"].T, ups["w8s"][None, :], out_dtype=dtype)
-            + ups["b"].astype(dtype)
-        ).astype(dtype)
+        # emit the compute dtype straight from the kernel with the bias
+        # fused in (an f32 output or a separate bias add would each force
+        # an extra multi-GB HBM pass — the einsum path fuses both into
+        # its matmul epilogue)
+        x = w8a8_matmul_fq(
+            x, ups["w8"].T, ups["w8s"][None, :], bias=ups["b"], out_dtype=dtype
+        )
     else:
         x = (
             jnp.einsum(

@@ -82,18 +82,11 @@ def _a8_kernel(xq_ref, xs_ref, w_ref, ws_ref, o_ref, *, out_dtype):
     o_ref[:] = (acc.astype(jnp.float32) * xs_ref[:] * ws_ref[:]).astype(out_dtype)
 
 
-def _fq_kernel(x_ref, w_ref, ws_ref, o_ref, *, out_dtype):
-    xf = x_ref[:].astype(jnp.float32)
-    amax = jnp.max(jnp.abs(xf), axis=1, keepdims=True)
-    s = jnp.maximum(amax, 1e-12) * (1.0 / 127.0)
-    xq = jnp.round(xf * (1.0 / s)).astype(jnp.int8)
-    acc = jnp.dot(xq, w_ref[:], preferred_element_type=jnp.int32)
-    o_ref[:] = (acc.astype(jnp.float32) * s * ws_ref[:]).astype(out_dtype)
-
-
-def _fq_bias_kernel(x_ref, w_ref, ws_ref, b_ref, o_ref, *, out_dtype):
-    """fq kernel + fused f32 bias add (a separate XLA bias pass over a
-    pallas_call output would re-stream the full output through HBM)."""
+def _fq_kernel(x_ref, w_ref, ws_ref, b_ref, o_ref, *, out_dtype):
+    """Per-row activation quant + int8 dot + dequant, with a fused f32
+    bias add (a separate XLA bias pass over a pallas_call output would
+    re-stream the full output through HBM; callers without a bias pass
+    zeros — one (1, bn) VMEM block, negligible)."""
     xf = x_ref[:].astype(jnp.float32)
     amax = jnp.max(jnp.abs(xf), axis=1, keepdims=True)
     s = jnp.maximum(amax, 1e-12) * (1.0 / 127.0)
@@ -207,14 +200,16 @@ def _pad_rows(x2d: jnp.ndarray, bm: int) -> jnp.ndarray:
 
 def _clamp_block_m(bm: int, k: int, bn: int, in_bytes: int, out_bytes: int) -> int:
     """Largest block_m <= bm whose double-buffered working set fits the
-    ~16 MB scoped VMEM (f32 outputs at wide bn otherwise blow the limit)."""
+    ~16 MB scoped VMEM (f32 outputs at wide bn otherwise blow the limit).
+    Halved values are rounded down to a multiple of 32 so the block always
+    tiles the sublane dimension for every dtype (f32 8, bf16 16, int8 32)."""
     budget = 12 * (1 << 20)
-    while bm > 8:
+    while bm > 32:
         need = 2 * (bm * k * in_bytes + bm * bn * out_bytes) + 2 * k * bn
         if need <= budget:
             break
-        bm //= 2
-    return max(bm, 8)
+        bm = (bm // 2) // 32 * 32
+    return max(bm, 8 if bm < 32 else 32)
 
 
 @functools.partial(
@@ -300,24 +295,22 @@ def w8a8_matmul_fq(
     bm = _clamp_block_m(bm, k, bn, x2.dtype.itemsize, jnp.dtype(out_dtype).itemsize)
     x2 = _pad_rows(x2, bm)
     mp = x2.shape[0]
-    if bias is None:
-        kern = functools.partial(_fq_kernel, out_dtype=out_dtype)
-        extra_specs, extra_args = [], []
-    else:
-        kern = functools.partial(_fq_bias_kernel, out_dtype=out_dtype)
-        extra_specs = [pl.BlockSpec((1, bn), lambda i, j: (0, j))]
-        extra_args = [bias.astype(jnp.float32).reshape(1, o)]
+    b2 = (
+        bias.astype(jnp.float32).reshape(1, o)
+        if bias is not None
+        else jnp.zeros((1, o), jnp.float32)
+    )
     out = pl.pallas_call(
-        kern,
+        functools.partial(_fq_kernel, out_dtype=out_dtype),
         grid=(mp // bm, o // bn),
         in_specs=[
             pl.BlockSpec((bm, k), lambda i, j: (i, 0)),
             pl.BlockSpec((k, bn), lambda i, j: (0, j)),
             pl.BlockSpec((1, bn), lambda i, j: (0, j)),
-        ]
-        + extra_specs,
+            pl.BlockSpec((1, bn), lambda i, j: (0, j)),
+        ],
         out_specs=pl.BlockSpec((bm, bn), lambda i, j: (i, j)),
         out_shape=jax.ShapeDtypeStruct((mp, o), out_dtype),
         interpret=interpret,
-    )(x2, wq_t, ws, *extra_args)
+    )(x2, wq_t, ws, b2)
     return out[:m].reshape(*lead, o)

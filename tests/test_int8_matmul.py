@@ -283,3 +283,34 @@ class TestLstmW8A8:
         qp = quantize_lstm_crf_params_w8a8(params)
         for p in qp["lstms"]:
             assert "w_ih" in p and "w_ih_q" not in p
+
+    def test_head_quantizer_branch(self):
+        """quantize_tx_head_w8a8 exercises the tx_forward 'w8' head +
+        upsample branches and permute_head_params' quantised-head path
+        (kept for re-running the measured-slower experiment)."""
+        from dorado_tpu.models import presets
+        from dorado_tpu.models.crf_model import permute_head_params
+        from dorado_tpu.models.tx_model import (
+            init_tx_params,
+            quantize_tx_head_w8a8,
+            quantize_tx_params_w8a8,
+            tx_forward,
+        )
+
+        cfg = presets.sup_v50_config()
+        params = init_tx_params(cfg, jax.random.PRNGKey(0), dtype=jnp.float32)
+        params["layers"] = params["layers"][:2]
+        sig = jnp.asarray(
+            np.random.RandomState(1).randn(1, 1536).astype(np.float32)
+        )
+        ref = np.asarray(tx_forward(params, sig, cfg))
+        qp = quantize_tx_head_w8a8(quantize_tx_params_w8a8(params))
+        assert "w8" in qp["crf"] and "w8" in qp["upsample"]
+        got = np.asarray(tx_forward(qp, sig, cfg))
+        rel = np.linalg.norm(got - ref) / np.linalg.norm(ref)
+        assert rel < 0.06, rel
+        # block-permuting the quantised head commutes with quantisation
+        perm = np.random.RandomState(2).permutation(got.shape[-1])
+        pp = permute_head_params(qp, perm)
+        got_p = np.asarray(tx_forward(pp, sig, cfg))
+        np.testing.assert_allclose(got_p, got[..., perm], rtol=1e-5, atol=1e-5)
