@@ -144,6 +144,12 @@ def _qual_weight_table(num_states: int) -> np.ndarray:
     return table
 
 
+# int8 signal-transfer mode: round(scaled_signal * 24) — the med_mad/
+# quantile-normalised signal is ~N(0,1)-ranged, so +-5.3 sigma fits int8
+# with ~0.01 sigma quantisation noise
+_SIGNAL_INT8_SCALE = 24.0
+
+
 @dataclass
 class RunnerStats:
     batches_called: int = 0
@@ -246,6 +252,19 @@ class BasecallRunner:
         )
         self._compute_dtype = compute_dtype
         self._use_pallas = use_pallas
+        # opt-in int8 signal transfer (halves H2D on bandwidth-constrained
+        # links; the reference feeds f16, so f16 stays the default)
+        self._signal_int8 = (
+            os.environ.get("DORADO_TPU_SIGNAL_DTYPE", "f16") == "int8"
+        )
+        signal_int8 = self._signal_int8
+
+        def prep_sig(sig):
+            s = sig.astype(compute_dtype)
+            if signal_int8:
+                # the dequant multiply fuses into the first conv
+                s = s * (1.0 / _SIGNAL_INT8_SCALE)
+            return s
 
         if config.is_tx_model:
             from dorado_tpu.models.tx_model import (
@@ -274,9 +293,7 @@ class BasecallRunner:
                 self.params = quantize_tx_params(self.params)
 
             def fwd_tm(p, sig):
-                return jnp.swapaxes(
-                    tx_forward(p, sig.astype(compute_dtype), config), 0, 1
-                )
+                return jnp.swapaxes(tx_forward(p, prep_sig(sig), config), 0, 1)
 
         else:
             # W8A8 input projections on the Pallas LSTM path (the
@@ -309,7 +326,7 @@ class BasecallRunner:
                 # no [N,T,C]<->[T,N,C] score-tensor transposes in the step
                 return lstm_crf_forward(
                     p,
-                    sig.astype(compute_dtype),
+                    prep_sig(sig),
                     config,
                     use_pallas=use_pallas,
                     time_major=True,
@@ -625,20 +642,29 @@ class BasecallRunner:
 
     def make_input_buffer(self, lane: int = 0) -> np.ndarray:
         # float16 halves the host->device transfer; the reference feeds f16
-        # signal too (ScalerNode.cpp:227-229)
+        # signal too (ScalerNode.cpp:227-229). DORADO_TPU_SIGNAL_DTYPE=int8
+        # (opt-in) halves it again for bandwidth-constrained links: the
+        # scaled signal is ~N(0,1)-ranged, so round(x * 24) clipped to
+        # int8 carries it with ~0.01 sigma quantisation noise; the device
+        # step dequantises with the same constant.
         size = self.chunk_sizes[lane]
+        dtype = np.int8 if self._signal_int8 else np.float16
         rows = self.lane_batch_size(lane)
         if self.config.num_features > 1:
-            return np.zeros(
-                (rows, size, self.config.num_features), dtype=np.float16
-            )
-        return np.zeros((rows, size), dtype=np.float16)
+            return np.zeros((rows, size, self.config.num_features), dtype=dtype)
+        return np.zeros((rows, size), dtype=dtype)
 
     def accept_chunk(self, buffer: np.ndarray, idx: int, signal: np.ndarray) -> None:
         """Copy one (possibly short) chunk into the batch, repeat-padding to
         the buffer's chunk size (BasecallerNode.cpp:431-440)."""
         size = buffer.shape[1]
         n = len(signal)
+        if buffer.dtype == np.int8:
+            signal = np.clip(
+                np.rint(np.asarray(signal, np.float32) * _SIGNAL_INT8_SCALE),
+                -127,
+                127,
+            )
         if n == size:
             buffer[idx] = signal
         else:

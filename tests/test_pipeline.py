@@ -313,3 +313,40 @@ def test_chunk_lane_ladder(monkeypatch):
     runner.accept_chunk(buf, 0, sig)
     decoded = runner.call_chunks(buf, 1)
     assert len(decoded) == 1 and len(decoded[0].moves) == 3375 // cfg.stride
+
+
+def test_int8_signal_transfer_mode(fast_model_dir, monkeypatch):
+    """DORADO_TPU_SIGNAL_DTYPE=int8 (opt-in, for bandwidth-constrained
+    links): quantised signal transfer must reproduce the f16 path's calls
+    on real fixture reads (quantisation noise ~0.01 sigma)."""
+    import numpy as np
+
+    from dorado_tpu.basecall.runner import BasecallRunner
+
+    config, params = load_model(fast_model_dir)
+
+    def calls(env):
+        if env:
+            monkeypatch.setenv("DORADO_TPU_SIGNAL_DTYPE", "int8")
+        else:
+            monkeypatch.delenv("DORADO_TPU_SIGNAL_DTYPE", raising=False)
+        runner = BasecallRunner(
+            config, params, chunk_size=2000, batch_size=4, decoder="viterbi"
+        )
+        buf = runner.make_input_buffer()
+        assert buf.dtype == (np.int8 if env else np.float16)
+        rng = np.random.RandomState(0)
+        for i in range(4):
+            runner.accept_chunk(buf, i, rng.randn(2000).astype(np.float32))
+        return [c.sequence for c in runner.call_chunks(buf, 4)]
+
+    ref = calls(False)
+    got = calls(True)
+    assert sum(len(s) for s in ref) > 0
+    # identical or near-identical calls (tiny quantisation noise can move
+    # single near-tie bases)
+    from dorado_tpu.native import align
+
+    for a, b in zip(ref, got):
+        dist = align(a, b).distance if b else len(a)
+        assert dist <= max(2, 0.02 * len(a)), (a[:40], b[:40])
