@@ -253,15 +253,21 @@ class BasecallRunner:
         self._compute_dtype = compute_dtype
         self._use_pallas = use_pallas
         # opt-in int8 signal transfer (halves H2D on bandwidth-constrained
-        # links; the reference feeds f16, so f16 stays the default)
+        # links; the reference feeds f16, so f16 stays the default).
+        # Single-feature signal only: the ~N(0,1) range analysis does not
+        # cover multi-feature inputs (the 13-channel stereo features carry
+        # [0,1] q-score channels that 1/24 steps would coarsen).
         self._signal_int8 = (
             os.environ.get("DORADO_TPU_SIGNAL_DTYPE", "f16") == "int8"
+            and config.num_features == 1
         )
-        signal_int8 = self._signal_int8
 
         def prep_sig(sig):
+            # dequant keyed on the ACTUAL input dtype (not the env flag), so
+            # a caller handing call_chunks its own f16 buffer under the int8
+            # env cannot be silently mis-scaled
             s = sig.astype(compute_dtype)
-            if signal_int8:
+            if jnp.issubdtype(sig.dtype, jnp.signedinteger):
                 # the dequant multiply fuses into the first conv
                 s = s * (1.0 / _SIGNAL_INT8_SCALE)
             return s

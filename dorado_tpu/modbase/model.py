@@ -53,14 +53,17 @@ def _lstm(p: Params, x: jnp.ndarray, reverse: bool) -> jnp.ndarray:
 
     On TPU the recurrence runs in the fused Pallas scan (ops/lstm.py) —
     measured 1.19x the lax.scan step at the hac-5mCG_5hmCG v3 geometry
-    (6.43 vs 7.65 ms at batch 2048)."""
-    import jax
+    (6.43 vs 7.65 ms at batch 2048). DORADO_TPU_MODBASE_PALLAS=0 falls
+    back to the lax.scan recurrence."""
+    import os
 
     from dorado_tpu.models.crf_model import lstm_layer
 
-    return lstm_layer(
-        p, x, reverse=reverse, use_pallas=jax.default_backend() == "tpu"
+    use_pallas = (
+        jax.default_backend() == "tpu"
+        and os.environ.get("DORADO_TPU_MODBASE_PALLAS", "1") != "0"
     )
+    return lstm_layer(p, x, reverse=reverse, use_pallas=use_pallas)
 
 
 # ---------------------------------------------------------------------------

@@ -80,12 +80,15 @@ def lstm_scan_time_major(
     if interpret is None:
         interpret = jax.default_backend() == "cpu"
     # VMEM-aware batch tile: the double-buffered xproj + out blocks are
-    # block_t * block_n * (4H + H) * 2 bytes * 2 buffers; wide LSTMs
+    # block_t * block_n * (4H + H) * itemsize * 2 buffers; wide LSTMs
     # (sup-class H=768) overflow VMEM at the default block_n=128 and fail
-    # the backend compile, so shrink the tile to an ~8 MB block budget (hac H=384 keeps block_n=128; sup-class H=768 drops to 64)
+    # the backend compile, so shrink the tile to an ~8 MB block budget
+    # (hac H=384 bf16 keeps block_n=128; sup-class H=768 drops to 64).
+    # itemsize matters: modbase feeds f32 (4 B/elem, half the tile rows)
+    itemsize = jnp.dtype(xproj.dtype).itemsize
     while (
         block_n > 32
-        and block_t * block_n * (g4 + hidden) * 2 * 2 > 8 * 1024 * 1024
+        and block_t * block_n * (g4 + hidden) * itemsize * 2 > 8 * 1024 * 1024
     ):
         block_n //= 2
     block_n = min(block_n, n)

@@ -329,3 +329,29 @@ class TestTags:
     def test_threshold(self):
         assert modbase_threshold_uint8(0.05) == 12
         assert modbase_threshold_uint8(1.0) == 255
+
+
+def test_modbase_lstm_pallas_parity():
+    """The TPU modbase path runs the recurrence in the fused Pallas scan
+    (interpret mode here): it must match the lax.scan branch at modbase
+    geometry — f32 activations, H=256, short T (the VMEM tile budget is
+    itemsize-aware for the f32 case)."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from dorado_tpu.models.crf_model import lstm_layer
+
+    rng = np.random.RandomState(0)
+    h = 256
+    p = {
+        "w_ih": jnp.asarray(rng.randn(4 * h, h).astype(np.float32) * 0.1),
+        "w_hh": jnp.asarray(rng.randn(4 * h, h).astype(np.float32) * 0.1),
+        "b_ih": jnp.asarray(rng.randn(4 * h).astype(np.float32) * 0.1),
+        "b_hh": jnp.asarray(rng.randn(4 * h).astype(np.float32) * 0.1),
+    }
+    x = jnp.asarray(rng.randn(3, 24, h).astype(np.float32))
+    for reverse in (False, True):
+        ref = np.asarray(lstm_layer(p, x, reverse=reverse, use_pallas=False))
+        got = np.asarray(lstm_layer(p, x, reverse=reverse, use_pallas=True))
+        np.testing.assert_allclose(got, ref, rtol=2e-4, atol=2e-4)
